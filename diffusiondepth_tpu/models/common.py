@@ -1,0 +1,174 @@
+"""Shared Flax building blocks (NHWC).
+
+Equivalents of the reference's torch helpers: ``conv_bn_relu`` /
+``convt_bn_relu`` (reference: src/model/common.py:45-82, LeakyReLU(0.2)),
+mmcv ``ConvModule`` plain-conv usage, and BN-normalized deconv upsampling.
+
+BatchNorm parity notes:
+  * torch BatchNorm2d(momentum=0.1)  ==  flax BatchNorm(momentum=0.9)
+    (flax uses decay convention: new = m*old + (1-m)*batch).
+  * Under jit with a batch sharded over the 'data' mesh axis, the batch-mean /
+    variance reductions are global - GSPMD inserts the cross-replica psum, so
+    SyncBatchNorm (reference: apex convert_syncbn_model, src/main.py:128) is
+    structural rather than a wrapper.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def _pair(v: Union[int, Tuple[int, int]]) -> Tuple[int, int]:
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+def act_fn(name: Optional[str], negative_slope: float = 0.2) -> Callable:
+    if name is None:
+        return lambda x: x
+    if name == "relu":
+        return nn.relu
+    if name == "leaky_relu":
+        return lambda x: nn.leaky_relu(x, negative_slope=negative_slope)
+    if name == "gelu":
+        return nn.gelu
+    if name == "tanh":
+        return jnp.tanh
+    if name == "sigmoid":
+        return nn.sigmoid
+    raise ValueError(name)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm2d with torch-compatible defaults, NHWC."""
+
+    momentum: float = 0.9  # == torch momentum 0.1
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            dtype=self.dtype,
+        )(x)
+
+
+class ConvBNAct(nn.Module):
+    """Conv2d [+ BatchNorm] [+ activation].
+
+    Matches reference ``conv_bn_relu`` (src/model/common.py:45-60): bias only
+    when BN is off; default activation LeakyReLU(0.2).
+    """
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    strides: Union[int, Tuple[int, int]] = 1
+    padding: Union[int, Tuple[int, int]] = 0
+    use_bn: bool = True
+    act: Optional[str] = "leaky_relu"
+    negative_slope: float = 0.2
+    use_bias: Optional[bool] = None  # default: not use_bn
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = _pair(self.padding)
+        bias = (not self.use_bn) if self.use_bias is None else self.use_bias
+        x = nn.Conv(
+            self.features,
+            _pair(self.kernel_size),
+            strides=_pair(self.strides),
+            padding=(p, p) if isinstance(p[0], int) else p,
+            use_bias=bias,
+            dtype=self.dtype,
+        )(x)
+        if self.use_bn:
+            x = BatchNorm(dtype=self.dtype)(x, train)
+        return act_fn(self.act, self.negative_slope)(x)
+
+
+class DeconvBNAct(nn.Module):
+    """ConvTranspose2d [+ BatchNorm] [+ activation].
+
+    kernel 2 / stride 2 (torch p=0) -> padding VALID;
+    kernel 4 / stride 2 (torch p=1) -> padding SAME.
+    Both produce exact 2x upsampling, matching the reference's
+    ``build_upsample_layer(type='deconv')`` FPN usage
+    (src/model/head/ddim_depth_estimate_res.py:72-84) and the depth-transform
+    decoder (src/model/ops/depth_transform.py:21).
+    """
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 2
+    strides: Union[int, Tuple[int, int]] = 2
+    use_bn: bool = True
+    act: Optional[str] = "relu"
+    use_bias: Optional[bool] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = _pair(self.kernel_size)
+        s = _pair(self.strides)
+        padding = "VALID" if k[0] <= s[0] else "SAME"
+        bias = (not self.use_bn) if self.use_bias is None else self.use_bias
+        x = nn.ConvTranspose(
+            self.features, k, strides=s, padding=padding, use_bias=bias, dtype=self.dtype
+        )(x)
+        if self.use_bn:
+            x = BatchNorm(dtype=self.dtype)(x, train)
+        return act_fn(self.act)(x)
+
+
+class GroupNorm(nn.Module):
+    """torch-compatible GroupNorm (affine, eps 1e-5)."""
+
+    num_groups: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5, dtype=self.dtype)(x)
+
+
+def max_pool2d(
+    x: jnp.ndarray,
+    kernel: int,
+    stride: int,
+    padding: int = 0,
+) -> jnp.ndarray:
+    """torch MaxPool2d on NHWC (pads with -inf)."""
+    return nn.max_pool(
+        x,
+        window_shape=(kernel, kernel),
+        strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+    )
+
+
+def avg_pool2d(x: jnp.ndarray, kernel: int, stride: int, padding: int = 0) -> jnp.ndarray:
+    return nn.avg_pool(
+        x,
+        window_shape=(kernel, kernel),
+        strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        count_include_pad=True,
+    )
+
+
+def drop_path(x: jnp.ndarray, rate: float, deterministic: bool, rng) -> jnp.ndarray:
+    """Stochastic depth (per-sample residual drop), timm-compatible."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))

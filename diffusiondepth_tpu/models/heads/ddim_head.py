@@ -1,0 +1,270 @@
+"""DDIM depth-estimation heads.
+
+Re-implements the reference head family (src/model/head/ddim_depth_estimate_res.py,
+..._swin_add.py, ..._swin_addHAHI.py, ..._mpvit_HAHI.py, and the *Vis variants)
+as one parameterised Flax module:
+
+  1. (optional) HAHI neck over the backbone pyramid
+  2. FPN top-down aggregation into a single ``fpn_dim``-channel condition map
+     at the resolution of the finest backbone level (reference :108-121)
+  3. GT depth encoded to a 16-ch half-resolution latent via the learned depth
+     transform (reference :102) - its shape also sizes the sampling latent
+     (reference quirk, :134)
+  4. DDIM sampling: latent ~ N(0,1), ``inference_steps`` reverse steps with the
+     conditional denoiser. Reference runs a Python loop with per-step host math
+     (CNNDDIMPipiline :254-296); here it is a single ``nn.scan`` (lax.scan)
+     over precomputed alpha tables, rematerialised for training memory.
+  5. decode latent -> metric depth via ``depth_transform.inv_t`` (:146)
+  6. self-diffusion DDIM loss: add noise at a random timestep to the model's
+     own refined latent and regress it (reference ddim_loss :207-223)
+
+Output dict keys match the reference contract exactly (:177-182).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...diffusion.ddim import DDIMSchedule
+from ...ops.resize import adaptive_avg_pool2d
+from ...registry import HEADS
+from ..common import ConvBNAct, DeconvBNAct
+from ..depth_transform import build_depth_transform
+from .denoiser import ScheduledCNNRefine
+
+DEFAULT_DEPTH_TRANSFORM = dict(type="DeepDepthTransformWithUpsampling", hidden=16, eps=1e-6)
+
+
+class DDIMDepthEstimateHead(nn.Module):
+    in_channels: Sequence[int] = (64, 128, 256, 512)
+    fpn_dim: int = 256
+    depth_feature_dim: int = 16
+    inference_steps: int = 20
+    num_train_timesteps: int = 1000
+    fuse: str = "add"  # 'add' (Res) | 'upsample_add' (Swin/HAHI/MPViT)
+    use_hahi: bool = False
+    hahi_embedding_dim: int = 512
+    hahi_self_att: bool = False
+    hahi_cross_att: bool = False
+    hahi_num_points: int = 8
+    vis: bool = False  # also return per-step decoded depths ('pred_inter')
+    depth_transform_cfg: Any = None
+    eta: float = 0.0
+    dtype: Optional[Any] = None
+
+    def setup(self):
+        cfg = self.depth_transform_cfg or DEFAULT_DEPTH_TRANSFORM
+        self.depth_transform = build_depth_transform(dict(cfg, dtype=self.dtype))
+        self.model = ScheduledCNNRefine(
+            channels_in=self.fpn_dim,
+            channels_noise=self.depth_feature_dim,
+            fuse=self.fuse,
+            dtype=self.dtype,
+        )
+        self.schedule = DDIMSchedule(
+            num_train_timesteps=self.num_train_timesteps, clip_sample=False
+        )
+        if self.use_hahi:
+            from ..necks.hahi import HAHIHeteroNeck
+
+            self.hahineck = HAHIHeteroNeck(
+                in_channels=tuple(self.in_channels),
+                out_channels=tuple(self.in_channels),
+                embedding_dim=self.hahi_embedding_dim,
+                self_att=self.hahi_self_att,
+                cross_att=self.hahi_cross_att,
+                num_points=self.hahi_num_points,
+                dtype=self.dtype,
+            )
+        # FPN (reference :57-84): lateral 3x3 conv+BN+ReLU per level; deconv
+        # k2s2+BN+ReLU up-path for levels 1..n-1 (conv_up[j] fuses INTO level j).
+        self.conv_lateral = [
+            ConvBNAct(self.fpn_dim, 3, 1, 1, act="relu", dtype=self.dtype,
+                      name=f"conv_lateral_{i}")
+            for i in range(len(self.in_channels))
+        ]
+        self.conv_up = [
+            DeconvBNAct(self.fpn_dim, 2, 2, act="relu", dtype=self.dtype,
+                        name=f"conv_up_{i}")
+            for i in range(len(self.in_channels) - 1)
+        ]
+
+    # ------------------------------------------------------------------ #
+    def _fpn_condition(self, fp: Sequence[jnp.ndarray], train: bool) -> jnp.ndarray:
+        """Top-down FPN collapse to a single condition map (reference :112-122)."""
+        n = len(fp)
+        x = None
+        for i in range(n):
+            j = n - i - 1
+            lat = self.conv_lateral[j](fp[j], train)
+            if i > 0:
+                up = self.conv_up[j](x, train)
+                lat = lat + adaptive_avg_pool2d(up, (lat.shape[1], lat.shape[2]))
+            x = lat
+        return x
+
+    def _sample(self, cond_latent: jnp.ndarray, latent_shape, rng) -> Tuple[jnp.ndarray, Any]:
+        """Full reverse diffusion as one scan; returns (latent, trajectory|None).
+
+        The latent and all scheduler math stay float32 even under a bfloat16
+        compute policy: ``1 - alpha_prod_t`` underflows to 0 in bf16 near t=0
+        (8 mantissa bits), which poisons the epsilon re-derivation with
+        inf/NaN. The denoiser's convs still run in bf16 via their dtype.
+        """
+        tables = self.schedule.inference_tables(self.inference_steps)
+        latent0 = jax.random.normal(rng, latent_shape, jnp.float32)
+
+        schedule = self.schedule
+        vis = self.vis
+
+        def step_fn(mdl, carry, xs):
+            x, cond = carry
+            t, a_t, a_prev = xs
+            eps = mdl.model(x, t, cond).astype(jnp.float32)
+            x_prev, _ = schedule.step_from_alphas(
+                eps, x, a_t, a_prev,
+                eta=0.0, use_clipped_model_output=True,
+            )
+            return (x_prev, cond), (x_prev if vis else None)
+
+        scan = nn.scan(
+            nn.remat(step_fn, prevent_cse=False),
+            variable_broadcast=["params", "batch_stats"],
+            split_rngs={"params": False},
+            in_axes=0,
+            out_axes=0,
+        )
+        (latent, _), traj = scan(
+            self,
+            (latent0, cond_latent),
+            (tables.timesteps, tables.alpha_prod_t, tables.alpha_prod_prev),
+        )
+        return latent, traj
+
+    def _ddim_loss(self, refined_latent: jnp.ndarray, cond_latent: jnp.ndarray) -> jnp.ndarray:
+        """Self-diffusion noise-regression loss (reference :207-223)."""
+        b = refined_latent.shape[0]
+        rng_noise = self.make_rng("diffusion")
+        rng_t = self.make_rng("diffusion")
+        noise = jax.random.normal(rng_noise, refined_latent.shape, refined_latent.dtype)
+        timesteps = jax.random.randint(rng_t, (b,), 0, self.num_train_timesteps)
+        noisy = self.schedule.add_noise(refined_latent, noise, timesteps)
+        noise_pred = self.model(noisy, timesteps, cond_latent)
+        return jnp.mean(jnp.square(noise_pred.astype(jnp.float32) - noise.astype(jnp.float32)))
+
+    # ------------------------------------------------------------------ #
+    def __call__(
+        self,
+        fp: Sequence[jnp.ndarray],
+        depth_map: Optional[jnp.ndarray] = None,
+        depth_mask: Optional[jnp.ndarray] = None,
+        gt_depth_map: Optional[jnp.ndarray] = None,
+        train: bool = False,
+        compute_ddim_loss: Optional[bool] = None,
+    ) -> Dict[str, Any]:
+        if compute_ddim_loss is None:
+            compute_ddim_loss = train
+        assert gt_depth_map is not None, (
+            "gt_depth_map sizes the sampling latent (reference quirk, "
+            "ddim_depth_estimate_res_swin_addHAHI.py:134); pass zeros at pure inference"
+        )
+
+        gt_map_t = self.depth_transform.t(gt_depth_map, train)
+
+        if self.use_hahi:
+            fp = self.hahineck(fp, train)
+        cond = self._fpn_condition(fp, train)
+        cond_latent = self.model.upsample_condition(cond, gt_map_t.shape[1:3])
+
+        latent_shape = (
+            gt_map_t.shape[0], gt_map_t.shape[1], gt_map_t.shape[2], self.depth_feature_dim
+        )
+        rng = self.make_rng("diffusion")
+        refined_latent, traj = self._sample(cond_latent, latent_shape, rng)
+        refined_depth = self.depth_transform.inv_t(refined_latent, train)
+
+        ddim_loss = (
+            self._ddim_loss(refined_latent, cond_latent) if compute_ddim_loss else None
+        )
+
+        pred_inter = None
+        if self.vis and traj is not None:
+            # decode every intermediate latent (batched over the step axis)
+            n, b, h, w, c = traj.shape
+            flat = traj.reshape(n * b, h, w, c)
+            pred_inter = self.depth_transform.inv_t(flat, False).reshape(n, b, h, w, 1)
+
+        return {
+            "pred": refined_depth,
+            "pred_init": gt_map_t,
+            "blur_depth_t": gt_map_t,
+            "ddim_loss": ddim_loss,
+            "gt_map_t": gt_map_t,
+            "pred_uncertainty": None,
+            "pred_inter": pred_inter,
+            "weight_map": None,
+            "guidance": None,
+            "offset": None,
+            "aff": None,
+            "gamma": None,
+            "confidence": None,
+        }
+
+
+# ---------------------------------------------------------------------- #
+# Registered variants (reference files under src/model/head/)
+# ---------------------------------------------------------------------- #
+
+
+@HEADS.register_module()
+class DDIMDepthEstimate_Res(DDIMDepthEstimateHead):
+    """ResNet condition at latent resolution; direct-add fusion
+    (reference: src/model/head/ddim_depth_estimate_res.py:15)."""
+
+    in_channels: Sequence[int] = (64, 128, 256, 512)
+    fuse: str = "add"
+
+
+@HEADS.register_module()
+class DDIMDepthEstimate_ResVis(DDIMDepthEstimate_Res):
+    """Res variant returning per-step decoded depths
+    (reference: src/model/head/ddim_depth_estimate_res_vis.py)."""
+
+    vis: bool = True
+
+
+@HEADS.register_module()
+class DDIMDepthEstimate_Swin_ADD(DDIMDepthEstimateHead):
+    """Swin-L pyramid; upsample-add fusion
+    (reference: src/model/head/ddim_depth_estimate_res_swin_add.py:15)."""
+
+    in_channels: Sequence[int] = (192, 384, 768, 1536)
+    fuse: str = "upsample_add"
+
+
+@HEADS.register_module()
+class DDIMDepthEstimate_Swin_ADDHAHI(DDIMDepthEstimate_Swin_ADD):
+    """Swin-L + HAHI neck (reference: ..._swin_addHAHI.py:16; the shipped
+    config constructs HAHI with self_att=False, cross_att=False, :54-56)."""
+
+    use_hahi: bool = True
+
+
+@HEADS.register_module()
+class DDIMDepthEstimate_Swin_ADDHAHIVis(DDIMDepthEstimate_Swin_ADDHAHI):
+    """Vis variant (reference: ..._swin_addHAHI_vis.py:289-306)."""
+
+    vis: bool = True
+
+
+@HEADS.register_module()
+class DDIMDepthEstimate_MPVIT_ADDHAHI(DDIMDepthEstimateHead):
+    """MPViT-small pyramid + HAHI (reference: ..._mpvit_HAHI.py:32)."""
+
+    in_channels: Sequence[int] = (128, 216, 288, 288)
+    fuse: str = "upsample_add"
+    use_hahi: bool = True

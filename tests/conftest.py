@@ -1,0 +1,22 @@
+"""Test configuration: force an 8-virtual-device CPU platform so
+sharding/mesh tests run without TPU hardware (SURVEY.md section 4: the
+TPU-world substitute for multi-node testing).
+
+Note: the sandbox's sitecustomize registers an 'axon' TPU backend and calls
+``jax.config.update('jax_platforms', 'axon,cpu')`` at interpreter start, so
+an env-var JAX_PLATFORMS is not enough - we must update the config after
+importing jax (backends are initialised lazily, so this is still early
+enough)."""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
