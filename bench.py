@@ -1,0 +1,102 @@
+"""Benchmark: frames/sec/chip at KITTI 352x1216, 20 DDIM steps.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+
+The reference never published latency (SURVEY.md section 6); it prints an
+"Average processing time" per run at batch 1 (src/main.py:489-491).
+BASELINE.json's north star is >=5x an A100 running the reference. We take
+2.0 frames/sec (0.5 s/frame) as the A100 reference estimate for the Swin-L
+class pipeline at this resolution, so vs_baseline = measured_fps / 2.0.
+
+Runs the largest currently-implemented flagship at KITTI eval resolution
+with the full 20-step DDIM sampler, bfloat16 compute policy, batched.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+import numpy as np
+
+A100_BASELINE_FPS = 2.0
+H, W = 352, 1216
+STEPS = 20
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from diffusiondepth_tpu.config import Config
+    from diffusiondepth_tpu.models import build_model
+
+    # largest implemented flagship; upgraded to Swin-L+ADDHAHI when available
+    cfg = Config(
+        model_name="Diffusion_DCbase_",
+        backbone_module="mmbev_resnet",
+        backbone_name="mmbev_res50",
+        head_specify="DDIMDepthEstimate_Res",
+        inference_steps=STEPS,
+        opt_level="O1",  # bfloat16 compute
+    ).finalize()
+    model = build_model(cfg)
+
+    batch_size = 2
+    rng = np.random.RandomState(0)
+    gt = np.clip(rng.rand(batch_size, H, W, 1) * 80, 0, 88).astype(np.float32)
+    batch = {
+        "rgb": jnp.asarray(rng.randn(batch_size, H, W, 3).astype(np.float32)),
+        "dep": jnp.asarray(gt),
+        "gt": jnp.asarray(gt),
+        "depth_map": jnp.asarray(gt),
+        "depth_mask": jnp.ones((batch_size, H, W, 1), jnp.float32),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        batch,
+        train=False,
+    )
+
+    @jax.jit
+    def forward(variables, batch, rng):
+        return model.apply(variables, batch, train=False, rngs={"diffusion": rng})[
+            "pred"
+        ]
+
+    def run_sync(i):
+        # hard host fetch: through the axon relay, block_until_ready() returns
+        # early - only a device->host copy actually synchronises (verified
+        # empirically; block-only timing over-reports throughput ~100x)
+        out = forward(variables, batch, jax.random.fold_in(key, i))
+        return float(out[0, 0, 0, 0])
+
+    key = jax.random.PRNGKey(2)
+    for i in range(3):  # compile + warm-up to steady state
+        run_sync(100 + i)
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        run_sync(i)
+    dt = time.perf_counter() - t0
+
+    fps = n_iters * batch_size / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"KITTI {H}x{W} inference, {STEPS} DDIM steps, "
+                f"{cfg.backbone_name}+{cfg.head_specify}, bf16, bs{batch_size}",
+                "value": round(fps, 3),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / A100_BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

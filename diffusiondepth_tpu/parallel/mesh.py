@@ -1,0 +1,64 @@
+"""Device mesh and sharding utilities - the framework's entire "distributed
+backend".
+
+The reference's distributed layer is one process per GPU with NCCL DDP
+(mp.spawn src/main.py:501, init_process_group :72-73, apex DDP :148,
+DistributedSampler :83-87). Here the same data parallelism is a mesh +
+sharding declaration: batches are sharded over the 'data' axis, parameters
+are replicated, and GSPMD emits the gradient all-reduce and cross-replica
+BatchNorm reductions over ICI automatically. Multi-host extends this with
+``jax.distributed.initialize()`` - no user-visible communication code.
+
+A 'model' axis is provisioned for tensor-parallel sharding of oversized
+backbones (not required for parity - Swin-L fits on one chip).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def parse_mesh_shape(spec: Optional[str], n_devices: int) -> Dict[str, int]:
+    """Parse "data:4,model:2" into an axis dict; default all-data."""
+    if not spec:
+        return {"data": n_devices}
+    axes = {}
+    for part in spec.split(","):
+        name, size = part.split(":")
+        axes[name.strip()] = int(size)
+    total = int(np.prod(list(axes.values())))
+    if total != n_devices:
+        raise ValueError(f"mesh {axes} needs {total} devices, have {n_devices}")
+    return axes
+
+
+def create_mesh(
+    mesh_shape: Optional[str] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    axes = parse_mesh_shape(mesh_shape, len(devices))
+    dev_array = np.asarray(devices).reshape(tuple(axes.values()))
+    return Mesh(dev_array, tuple(axes.keys()))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'; everything else replicated."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch dict onto the mesh, sharded along 'data'."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sh) if hasattr(x, "ndim") and x.ndim > 0 else x,
+        batch,
+    )

@@ -1,0 +1,144 @@
+"""Multi-device (8 virtual CPU) data-parallel training tests and optimizer
+schedule parity (reference semantics: src/utility.py LRFactor + warmup
+src/main.py:216-222; DDP loss normalisation src/main.py:235)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffusiondepth_tpu.config import Config
+from diffusiondepth_tpu.losses import LossComputer
+from diffusiondepth_tpu.models import build_model
+from diffusiondepth_tpu.parallel import create_mesh, shard_batch
+from diffusiondepth_tpu.training import (
+    create_train_state,
+    make_eval_step,
+    make_lr_schedule,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def _cfg(**kw):
+    base = dict(
+        model_name="Diffusion_DCbase_",
+        backbone_name="mmbev_res18",
+        head_specify="DDIMDepthEstimate_Res",
+        inference_steps=2,
+        batch_size=8,
+        max_depth=10.0,
+    )
+    base.update(kw)
+    return Config(**base).finalize()
+
+
+def _batch(b=8, h=32, w=48, seed=0):
+    rng = np.random.RandomState(seed)
+    gt = np.clip(rng.rand(b, h, w, 1) * 8 + 1, 0, 10).astype(np.float32)
+    return {
+        "rgb": jnp.asarray(rng.randn(b, h, w, 3).astype(np.float32)),
+        "dep": jnp.asarray(gt),
+        "gt": jnp.asarray(gt),
+        "depth_map": jnp.asarray(gt),
+        "depth_mask": jnp.ones((b, h, w, 1), jnp.float32),
+    }
+
+
+def test_eight_device_mesh_available():
+    assert len(jax.devices()) == 8
+
+
+def test_lr_schedule_matches_reference_lambdalr():
+    cfg = _cfg(lr=0.001, decay="10,15,20", gamma="1.0,0.2,0.04", warm_up=False)
+    sched = make_lr_schedule(cfg, steps_per_epoch=100)
+    # during epoch e (1-based), factor(e-1) applies (scheduler.step at epoch end)
+    assert np.isclose(float(sched(0)), 0.001)  # epoch 1 -> factor(0)=1.0
+    assert np.isclose(float(sched(100 * 9)), 0.001)  # epoch 10 -> factor(9)=1.0
+    assert np.isclose(float(sched(100 * 10)), 0.0002)  # epoch 11 -> factor(10)=0.2
+    assert np.isclose(float(sched(100 * 15)), 0.00004)  # epoch 16 -> factor(15)=0.04
+    assert np.isclose(float(sched(100 * 25)), 0.00004)  # beyond table -> last gamma
+
+
+def test_lr_warmup_epoch_one():
+    cfg = _cfg(lr=0.001, warm_up=True)
+    sched = make_lr_schedule(cfg, steps_per_epoch=10)
+    # reference: cnt incremented before use -> step k has lr base*(k+1)/(n+1)
+    assert np.isclose(float(sched(0)), 0.001 * 1 / 11)
+    assert np.isclose(float(sched(9)), 0.001 * 10 / 11)
+    assert np.isclose(float(sched(10)), 0.001)  # epoch 2: full lr
+
+
+def test_data_parallel_train_step_runs_and_matches_single_device():
+    """One sharded train step over the 8-device mesh; loss must equal the
+    single-device computation on the identical global batch."""
+    cfg = _cfg()
+    model = build_model(cfg)
+    lc = LossComputer(cfg)
+    batch = _batch(b=8)
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    state = create_train_state(model, tx, batch, jax.random.PRNGKey(0))
+
+    mesh = create_mesh()
+    step_sharded = make_train_step(model, lc, mesh=mesh, donate=False)
+    step_single = make_train_step(model, lc, mesh=None, donate=False)
+
+    rng = jax.random.PRNGKey(1)
+    s1, loss1, lv1, mv1 = step_sharded(state, shard_batch(batch, mesh), rng)
+    s2, loss2, lv2, mv2 = step_single(state, batch, rng)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(lv1), np.asarray(lv2), rtol=2e-4, atol=1e-5)
+    # params updated near-identically (data-parallel == single-device global
+    # batch; atol covers adam sign flips on near-zero grads from differing
+    # reduction orders - first-step |update| is ~lr)
+    p1 = jax.tree_util.tree_leaves(s1.params)[0]
+    p2 = jax.tree_util.tree_leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=3e-4)
+
+
+def test_eval_step_sharded():
+    cfg = _cfg()
+    model = build_model(cfg)
+    batch = _batch(b=8)
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    state = create_train_state(model, tx, batch, jax.random.PRNGKey(0))
+    mesh = create_mesh()
+    eval_step = make_eval_step(model, mesh=mesh)
+    pred, metrics = eval_step(state, shard_batch(batch, mesh), jax.random.PRNGKey(2))
+    assert pred.shape == batch["gt"].shape
+    assert np.isfinite(np.asarray(metrics)).all()
+
+
+def test_graft_entry_dryrun():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape[0] == 1 and out.shape[-1] == 1
+    ge.dryrun_multichip(8)
+
+
+def test_split_backbone_training_lr():
+    cfg = _cfg(split_backbone_training=True, warm_up=False)
+    model = build_model(cfg)
+    batch = _batch(b=2)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        batch, train=False,
+    )
+    tx = make_optimizer(cfg, steps_per_epoch=10, params=variables["params"])
+    opt_state = tx.init(variables["params"])
+    grads = jax.tree_util.tree_map(jnp.ones_like, variables["params"])
+    updates, _ = tx.update(grads, opt_state, variables["params"])
+    # backbone updates should be 0.1x of head updates for identical unit grads
+    # (compare adam first-step magnitudes: |update| = lr for unit grad)
+    head_leaf = np.abs(np.asarray(
+        jax.tree_util.tree_leaves(updates["depth_head"])[0])).max()
+    bb_leaf = np.abs(np.asarray(
+        jax.tree_util.tree_leaves(updates["depth_backbone"])[0])).max()
+    np.testing.assert_allclose(bb_leaf, 0.1 * head_leaf, rtol=1e-3)
