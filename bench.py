@@ -34,12 +34,13 @@ def main():
     from diffusiondepth_tpu.config import Config
     from diffusiondepth_tpu.models import build_model
 
-    # largest implemented flagship; upgraded to Swin-L+ADDHAHI when available
+    # flagship: Swin-L + ADDHAHI head (the reference's best KITTI config,
+    # README row 'Swin', experiments/swinkitti)
     cfg = Config(
         model_name="Diffusion_DCbase_",
-        backbone_module="mmbev_resnet",
-        backbone_name="mmbev_res50",
-        head_specify="DDIMDepthEstimate_Res",
+        backbone_module="swin",
+        backbone_name="swin_large_naive_l4w722422k",
+        head_specify="DDIMDepthEstimate_Swin_ADDHAHI",
         inference_steps=STEPS,
         opt_level="O1",  # bfloat16 compute
     ).finalize()

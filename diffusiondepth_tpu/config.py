@@ -28,6 +28,7 @@ BACKBONE_NAME_CHOICES = (
     "swin_large_naive_l4w722422k",
     "swin_large_naive_swinlargepreatrain_add",
     "mpvit_small",
+    "swin_tiny",  # TPU extra: fast-eval config (BASELINE.json config #2)
 )
 HEAD_CHOICES = (
     "DDIMDepthEstimate_Res",

@@ -112,6 +112,12 @@ class LossComputer:
         return loss_sum, loss_val
 
 
+def get_loss_names(args) -> List[str]:
+    """Term names + 'Total', matching the loss_val row layout
+    (reference diffusion_dcbase_loss.py:42-49 / summary loss_name)."""
+    return [item.split("*")[1] for item in args.loss.split("+")] + ["Total"]
+
+
 def get_loss(args) -> Callable:
     """Reference-style factory (src/loss/__init__.py:25-30): resolves by
     ``args.model_name`` - both NLSPN and Diffusion_DCbase_ use the same

@@ -1,0 +1,357 @@
+"""Swin Transformer backbone (NHWC, TPU-native).
+
+Re-implements the reference's mmcv-derived Swin
+(src/model/backbone/swin.py:23-828) with identical math:
+
+  * PatchEmbed: pad bottom/right to a patch multiple, conv k4 s4, LayerNorm
+    (reference utils.py PatchEmbedSwin:282-302)
+  * WindowMSA with relative position bias; the bias index equals mmcv's
+    double_step_seq construction (swin.py:133-138; verified in tests)
+  * ShiftWindowMSA: pad to window multiple, cyclic shift via jnp.roll, a
+    trace-time-constant attention mask for shifted windows (swin.py:262-291)
+  * PatchMerging: 2x2 unfold (channel-slowest ordering, matching nn.Unfold) ->
+    LayerNorm -> Linear 4C->2C, with odd-size padding quirk preserved
+    (swin.py:76-77 pads by H%2/W%2)
+  * per-stage output LayerNorms (swin.py:680-683)
+
+TPU-first: tokens stay a (B, H, W, C) grid; window partition is a reshape +
+transpose; the shifted-window mask is computed in numpy at trace time (static
+shapes) and folded into the attention as a constant. Window attention runs as
+batched einsums on the MXU; a fused Pallas kernel is available in
+ops/window_attention.py.
+
+Swin-L config (swin_large_naive_l4w722422k, reference :796-810): embed 192,
+depths (2,2,18,2), heads (6,12,24,48), window 7, 22k-pretrained.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...registry import BACKBONES
+from ..common import drop_path
+
+
+@functools.lru_cache(maxsize=None)
+def relative_position_index(wh: int, ww: int) -> np.ndarray:
+    """Standard Swin relative-position index (equals mmcv's double_step_seq
+    + transpose + flip construction, reference swin.py:133-138)."""
+    coords = np.stack(np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij"))
+    coords = coords.reshape(2, -1)  # (2, N)
+    rel = coords[:, :, None] - coords[:, None, :]  # (2, N, N)
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    return rel.sum(-1)  # (N, N)
+
+
+@functools.lru_cache(maxsize=None)
+def shifted_window_mask(h_pad: int, w_pad: int, window: int, shift: int) -> np.ndarray:
+    """Attention mask (nW, N, N) with 0 / -100 entries for SW-MSA
+    (reference swin.py:269-291). Pure numpy - a constant under jit."""
+    img_mask = np.zeros((h_pad, w_pad), np.int32)
+    cnt = 0
+    for hs in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+        for ws in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+            img_mask[hs, ws] = cnt
+            cnt += 1
+    nwh, nww = h_pad // window, w_pad // window
+    win = img_mask.reshape(nwh, window, nww, window).transpose(0, 2, 1, 3)
+    win = win.reshape(-1, window * window)
+    diff = win[:, None, :] - win[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+def window_partition(x: jnp.ndarray, window: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, nW, N, C), H/W multiples of window."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // window, window, w // window, window, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, (h // window) * (w // window), window * window, c)
+
+
+def window_reverse(x: jnp.ndarray, window: int, h: int, w: int) -> jnp.ndarray:
+    """(B, nW, N, C) -> (B, H, W, C)."""
+    b = x.shape[0]
+    c = x.shape[-1]
+    x = x.reshape(b, h // window, w // window, window, window, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
+class WindowMSA(nn.Module):
+    """Window multi-head self-attention with relative position bias
+    (reference swin.py:92-189)."""
+
+    embed_dims: int
+    num_heads: int
+    window_size: Tuple[int, int]
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    attn_drop_rate: float = 0.0
+    proj_drop_rate: float = 0.0
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[np.ndarray], train: bool):
+        """x: (B, nW, N, C); mask: (nW, N, N) constant or None."""
+        b, nw, n, c = x.shape
+        head_dim = self.embed_dims // self.num_heads
+        scale = self.qk_scale or head_dim ** -0.5
+
+        qkv = nn.Dense(self.embed_dims * 3, use_bias=self.qkv_bias,
+                       dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, nw, n, 3, self.num_heads, head_dim)
+        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+        # (B, nW, N, H, D) -> attention over N
+        q = q * scale
+        attn = jnp.einsum("bwqhd,bwkhd->bwhqk", q, k)
+
+        # relative position bias
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * self.window_size[0] - 1) * (2 * self.window_size[1] - 1),
+             self.num_heads),
+        )
+        idx = relative_position_index(*self.window_size)
+        bias = table[jnp.asarray(idx.reshape(-1))].reshape(n, n, self.num_heads)
+        attn = attn + bias.transpose(2, 0, 1)[None, None].astype(attn.dtype)
+
+        if mask is not None:
+            attn = attn + jnp.asarray(mask, attn.dtype)[None, :, None]
+
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        if train and self.attn_drop_rate > 0:
+            attn = nn.Dropout(self.attn_drop_rate, deterministic=False)(attn)
+
+        out = jnp.einsum("bwhqk,bwkhd->bwqhd", attn, v).reshape(b, nw, n, c)
+        out = nn.Dense(self.embed_dims, dtype=self.dtype, name="proj")(out)
+        if train and self.proj_drop_rate > 0:
+            out = nn.Dropout(self.proj_drop_rate, deterministic=False)(out)
+        return out
+
+
+class SwinBlock(nn.Module):
+    """LN -> (S)W-MSA -> residual(+DropPath) -> LN -> FFN -> residual(+DropPath)
+    (reference swin.py:361-437)."""
+
+    embed_dims: int
+    num_heads: int
+    feedforward_channels: int
+    window_size: int = 7
+    shift: bool = False
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool):
+        b, h, w, c = x.shape
+        ws = self.window_size
+        shift = ws // 2 if self.shift else 0
+
+        shortcut = x
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+
+        pad_b = (ws - h % ws) % ws
+        pad_r = (ws - w % ws) % ws
+        if pad_b or pad_r:
+            y = jnp.pad(y, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        h_pad, w_pad = h + pad_b, w + pad_r
+
+        if shift > 0:
+            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+            mask = shifted_window_mask(h_pad, w_pad, ws, shift)
+        else:
+            mask = None
+
+        wins = window_partition(y, ws)
+        wins = WindowMSA(
+            embed_dims=self.embed_dims,
+            num_heads=self.num_heads,
+            window_size=(ws, ws),
+            qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale,
+            attn_drop_rate=self.attn_drop_rate,
+            proj_drop_rate=self.drop_rate,
+            dtype=self.dtype,
+            name="attn",
+        )(wins, mask, train)
+        y = window_reverse(wins, ws, h_pad, w_pad)
+
+        if shift > 0:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        if pad_b or pad_r:
+            y = y[:, :h, :w, :]
+
+        if train and self.drop_path_rate > 0:
+            y = drop_path(y, self.drop_path_rate, False, self.make_rng("dropout"))
+        x = shortcut + y
+
+        # FFN (mmcv: Dense -> GELU -> drop -> Dense -> drop, + identity)
+        shortcut = x
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        y = nn.Dense(self.feedforward_channels, dtype=self.dtype, name="ffn_fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        if train and self.drop_rate > 0:
+            y = nn.Dropout(self.drop_rate, deterministic=False)(y)
+        y = nn.Dense(self.embed_dims, dtype=self.dtype, name="ffn_fc2")(y)
+        if train and self.drop_rate > 0:
+            y = nn.Dropout(self.drop_rate, deterministic=False)(y)
+        if train and self.drop_path_rate > 0:
+            y = drop_path(y, self.drop_path_rate, False, self.make_rng("dropout"))
+        return shortcut + y
+
+
+class PatchMerging(nn.Module):
+    """2x2 unfold -> LN -> Linear(4C -> 2C) (reference swin.py:23-88)."""
+
+    out_channels: int
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        b, h, w, c = x.shape
+        # reference pads by H%2 / W%2 (swin.py:76-77)
+        if h % 2 or w % 2:
+            x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+            h, w = x.shape[1], x.shape[2]
+        # nn.Unfold channel ordering: c slowest, then (i, j)
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x = x.transpose(0, 1, 3, 5, 2, 4).reshape(b, h // 2, w // 2, c * 4)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        return nn.Dense(self.out_channels, use_bias=False, dtype=self.dtype,
+                        name="reduction")(x)
+
+
+class PatchEmbed(nn.Module):
+    """Pad to patch multiple (bottom/right), conv k=s=patch, LayerNorm
+    (reference utils.py PatchEmbedSwin:282-302)."""
+
+    embed_dims: int
+    patch_size: int = 4
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        p = self.patch_size
+        h, w = x.shape[1], x.shape[2]
+        pad_b = (p - h % p) % p
+        pad_r = (p - w % p) % p
+        if pad_b or pad_r:
+            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        x = nn.Conv(self.embed_dims, (p, p), strides=(p, p), padding="VALID",
+                    dtype=self.dtype, name="projection")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+
+
+class SwinTransformer(nn.Module):
+    """Four-stage Swin pyramid returning NHWC feature maps
+    (reference swin.py:519-777)."""
+
+    embed_dims: int = 96
+    patch_size: int = 4
+    window_size: int = 7
+    mlp_ratio: int = 4
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    patch_norm: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.1
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        x = PatchEmbed(self.embed_dims, self.patch_size, dtype=self.dtype,
+                       name="patch_embed")(x, train)
+        if train and self.drop_rate > 0:
+            x = nn.Dropout(self.drop_rate, deterministic=False)(x)
+
+        total_depth = sum(self.depths)
+        dpr = np.linspace(0, self.drop_path_rate, total_depth).tolist()
+
+        outs = []
+        dims = self.embed_dims
+        cur = 0
+        n_stages = len(self.depths)
+        for i in range(n_stages):
+            for bidx in range(self.depths[i]):
+                x = SwinBlock(
+                    embed_dims=dims,
+                    num_heads=self.num_heads[i],
+                    feedforward_channels=self.mlp_ratio * dims,
+                    window_size=self.window_size,
+                    shift=(bidx % 2 == 1),
+                    qkv_bias=self.qkv_bias,
+                    qk_scale=self.qk_scale,
+                    drop_rate=self.drop_rate,
+                    attn_drop_rate=self.attn_drop_rate,
+                    drop_path_rate=dpr[cur + bidx],
+                    dtype=self.dtype,
+                    name=f"stage{i}_block{bidx}",
+                )(x, train)
+            cur += self.depths[i]
+
+            if i in self.out_indices:
+                out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm{i}")(x)
+                outs.append(out)
+
+            if i < n_stages - 1:
+                x = PatchMerging(2 * dims, dtype=self.dtype,
+                                 name=f"downsample{i}")(x, train)
+                dims *= 2
+        return outs
+
+
+def _swin_large(dtype=None):
+    return SwinTransformer(
+        embed_dims=192,
+        patch_size=4,
+        window_size=7,
+        mlp_ratio=4,
+        depths=(2, 2, 18, 2),
+        num_heads=(6, 12, 24, 48),
+        out_indices=(0, 1, 2, 3),
+        dtype=dtype,
+    )
+
+
+@BACKBONES.register(name="swin_large_naive_nopretrain")
+def swin_large_naive_nopretrain(dtype=None):
+    return _swin_large(dtype)
+
+
+@BACKBONES.register(name="swin_large_naive_l4w722422k")
+def swin_large_naive_l4w722422k(dtype=None):
+    """Swin-L, ImageNet-22k pretrain in the reference (:796-810). Pretrained
+    weights load via utils/convert_torch_checkpoint.py when a .pth is
+    available; architecture is identical either way."""
+    return _swin_large(dtype)
+
+
+@BACKBONES.register(name="swin_large_naive_swinlargepreatrain_add")
+def swin_large_naive_swinlargepreatrain_add(dtype=None):
+    return _swin_large(dtype)
+
+
+@BACKBONES.register(name="swin_tiny")
+def swin_tiny(dtype=None):
+    """Swin-T (for fast tests / BASELINE config #2)."""
+    return SwinTransformer(
+        embed_dims=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24), dtype=dtype
+    )

@@ -95,15 +95,68 @@ class ConvBNAct(nn.Module):
         return act_fn(self.act, self.negative_slope)(x)
 
 
+class TorchConvTranspose(nn.Module):
+    """ConvTranspose2d with torch-exact semantics and numerics.
+
+    Implemented as ``lax.conv_general_dilated`` with lhs (input) dilation and
+    the spatially-flipped kernel — verified bit-comparable to
+    ``torch.nn.functional.conv_transpose2d`` in tests/test_convert_torch.py,
+    so reference deconv weights convert by a pure transpose (converter rule
+    ``conv_transpose_kernel``). torch padding/output_padding map to the
+    asymmetric pad config ``(k-1-p, k-1-p+op)``.
+
+    Kernel param layout: (kh, kw, in_features, out_features).
+    """
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 2
+    strides: Union[int, Tuple[int, int]] = 2
+    padding: Union[int, Tuple[int, int]] = 0  # torch-style
+    output_padding: Union[int, Tuple[int, int]] = 0
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = _pair(self.kernel_size)
+        s = _pair(self.strides)
+        p = _pair(self.padding)
+        op = _pair(self.output_padding)
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k[0], k[1], in_features, self.features),
+        )
+        dtype = self.dtype or x.dtype
+        pads = tuple(
+            (k[i] - 1 - p[i], k[i] - 1 - p[i] + op[i]) for i in range(2)
+        )
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel[::-1, ::-1].astype(dtype),
+            window_strides=(1, 1),
+            padding=pads,
+            lhs_dilation=s,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(dtype)
+        return y
+
+
 class DeconvBNAct(nn.Module):
     """ConvTranspose2d [+ BatchNorm] [+ activation].
 
-    kernel 2 / stride 2 (torch p=0) -> padding VALID;
-    kernel 4 / stride 2 (torch p=1) -> padding SAME.
-    Both produce exact 2x upsampling, matching the reference's
+    kernel 2 / stride 2 -> torch p=0, op=0;
+    kernel 3 / stride 2 -> torch p=1, op=1 (NLSPN decoder);
+    kernel 4 / stride 2 -> torch p=1, op=0 (depth-transform decoder).
+    All produce exact 2x upsampling, matching the reference's
     ``build_upsample_layer(type='deconv')`` FPN usage
-    (src/model/head/ddim_depth_estimate_res.py:72-84) and the depth-transform
-    decoder (src/model/ops/depth_transform.py:21).
+    (src/model/head/ddim_depth_estimate_res.py:72-84), the depth-transform
+    decoder (src/model/ops/depth_transform.py:21), and NLSPN ``convt_bn_relu``
+    (src/model/common.py:63-82).
     """
 
     features: int
@@ -118,10 +171,13 @@ class DeconvBNAct(nn.Module):
     def __call__(self, x, train: bool = False):
         k = _pair(self.kernel_size)
         s = _pair(self.strides)
-        padding = "VALID" if k[0] <= s[0] else "SAME"
+        # torch (padding, output_padding) giving out = in * stride
+        torch_pad = {2: (0, 0), 3: (1, 1), 4: (1, 0)}[k[0]]
         bias = (not self.use_bn) if self.use_bias is None else self.use_bias
-        x = nn.ConvTranspose(
-            self.features, k, strides=s, padding=padding, use_bias=bias, dtype=self.dtype
+        x = TorchConvTranspose(
+            self.features, k, s, padding=torch_pad[0],
+            output_padding=torch_pad[1], use_bias=bias, dtype=self.dtype,
+            name="deconv",
         )(x)
         if self.use_bn:
             x = BatchNorm(dtype=self.dtype)(x, train)

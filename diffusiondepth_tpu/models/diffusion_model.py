@@ -37,6 +37,7 @@ class Diffusion_DCbase_Model(nn.Module):
     head_name: str = "DDIMDepthEstimate_Res"
     inference_steps: int = 20
     num_train_timesteps: int = 1000
+    depth_transform_cfg: Optional[Any] = None
     dtype: Optional[Any] = None
 
     def setup(self):
@@ -46,10 +47,14 @@ class Diffusion_DCbase_Model(nn.Module):
             from .backbones import mpvit  # noqa: F401
         self.depth_backbone = BACKBONES.get(self.backbone_name)(dtype=self.dtype)
         head_cls = HEADS.get(self.head_name)
+        kwargs = {}
+        if self.depth_transform_cfg is not None:
+            kwargs["depth_transform_cfg"] = self.depth_transform_cfg
         self.depth_head = head_cls(
             inference_steps=self.inference_steps,
             num_train_timesteps=self.num_train_timesteps,
             dtype=self.dtype,
+            **kwargs,
         )
 
     def __call__(
@@ -80,23 +85,30 @@ def build_model(cfg) -> nn.Module:
     """Build the flagship model from a :class:`~diffusiondepth_tpu.config.Config`."""
     if cfg.model_name in ("Diffusion_DCbase_", "Diffusion_DCx4base_"):
         head = cfg.head_specify or _DEFAULT_HEAD[cfg.backbone_module]
-        if cfg.model_name == "Diffusion_DCx4base_":
-            # x4 variant: same composition with the X4 depth transform (the
-            # reference's module is unresolvable in the shipped tree,
-            # SURVEY.md 2.7; we provide the working equivalent).
-            head = head
+        # x4 variant: same composition with the X4 (1/4-res latent) depth
+        # transform. The reference's x4 model module is unresolvable in the
+        # shipped tree (SURVEY.md 2.7); this is the working equivalent.
+        dt_cfg = (
+            dict(type="DeepDepthTransformWithUpsamplingX4", hidden=16, eps=1e-6)
+            if cfg.model_name == "Diffusion_DCx4base_"
+            else None
+        )
         return Diffusion_DCbase_Model(
             backbone_name=cfg.backbone_name,
             backbone_module=cfg.backbone_module,
             head_name=head,
             inference_steps=cfg.inference_steps,
             num_train_timesteps=cfg.num_train_timesteps,
+            depth_transform_cfg=dt_cfg,
             dtype=cfg.compute_dtype if cfg.dtype == "bfloat16" else None,
         )
     if cfg.model_name == "NLSPN":
-        from .nlspn import build_nlspn
+        from .nlspn import NLSPNModel
 
-        return build_nlspn(cfg)
+        return NLSPNModel(
+            args=cfg,
+            dtype=cfg.compute_dtype if cfg.dtype == "bfloat16" else None,
+        )
     raise ValueError(f"unknown model_name {cfg.model_name!r}")
 
 

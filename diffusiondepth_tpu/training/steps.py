@@ -37,13 +37,14 @@ def make_train_step(
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
         batch_size = batch["rgb"].shape[0]
+        diff_rng, drop_rng = jax.random.split(rng)
 
         def loss_fn(params):
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch,
                 train=True,
-                rngs={"diffusion": rng},
+                rngs={"diffusion": diff_rng, "dropout": drop_rng},
                 mutable=["batch_stats"],
             )
             loss_sum, loss_val = loss_computer(batch, out)

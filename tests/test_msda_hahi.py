@@ -1,0 +1,166 @@
+"""MSDA core vs torch grid_sample (the math mmcv's CUDA op implements) and
+HAHI neck integration (reference: src/model/necks/hahi.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+import pytest
+
+from diffusiondepth_tpu.ops.msda import (
+    MultiScaleDeformableAttention,
+    bilinear_sample_nhwc,
+    ms_deform_attn,
+)
+from diffusiondepth_tpu.models.necks.hahi import HAHIHeteroNeck
+from diffusiondepth_tpu.models.necks.positional_encoding import (
+    sine_positional_encoding,
+)
+
+
+def test_bilinear_sample_matches_grid_sample():
+    rng = np.random.RandomState(0)
+    b, h, w, c = 2, 9, 13, 4
+    img = rng.randn(b, h, w, c).astype(np.float32)
+    # sample points incl. out-of-bounds
+    x = rng.uniform(-2, w + 1, (b, 50)).astype(np.float32)
+    y = rng.uniform(-2, h + 1, (b, 50)).astype(np.float32)
+
+    ours = bilinear_sample_nhwc(jnp.asarray(img), jnp.asarray(x), jnp.asarray(y))
+
+    # torch grid_sample with align_corners=False, zeros padding
+    timg = torch.from_numpy(img.transpose(0, 3, 1, 2))
+    gx = (torch.from_numpy(x) + 0.5) * 2 / w - 1
+    gy = (torch.from_numpy(y) + 0.5) * 2 / h - 1
+    grid = torch.stack([gx, gy], -1).unsqueeze(2)  # (B, Q, 1, 2)
+    ref = F.grid_sample(timg, grid, mode="bilinear", padding_mode="zeros",
+                        align_corners=False)
+    ref = ref.squeeze(-1).permute(0, 2, 1).numpy()  # (B, Q, C)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
+
+
+def _torch_msda_core(value, spatial_shapes, sampling_locations, attention_weights):
+    """mmcv multi_scale_deformable_attn_pytorch re-implementation in torch."""
+    bs, _, num_heads, d = value.shape
+    _, nq, _, L, P, _ = sampling_locations.shape
+    split = [h * w for h, w in spatial_shapes]
+    value_list = value.split(split, dim=1)
+    sampling_grids = 2 * sampling_locations - 1
+    out = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = value_list[lvl].flatten(2).transpose(1, 2).reshape(
+            bs * num_heads, d, h, w
+        )
+        grid = sampling_grids[:, :, :, lvl].transpose(1, 2).flatten(0, 1)
+        sampled = F.grid_sample(v, grid, mode="bilinear", padding_mode="zeros",
+                                align_corners=False)
+        out.append(sampled)
+    attn = attention_weights.transpose(1, 2).reshape(
+        bs * num_heads, 1, nq, L * P
+    )
+    out = (torch.stack(out, dim=-2).flatten(-2) * attn).sum(-1)
+    return out.view(bs, num_heads * d, nq).transpose(1, 2)
+
+
+def test_ms_deform_attn_matches_torch_reference():
+    rng = np.random.RandomState(1)
+    b, heads, d, nq, P = 2, 4, 8, 10, 3
+    shapes = [(6, 8), (3, 4)]
+    nv = sum(h * w for h, w in shapes)
+    value = rng.randn(b, nv, heads, d).astype(np.float32)
+    loc = rng.uniform(-0.1, 1.1, (b, nq, heads, len(shapes), P, 2)).astype(np.float32)
+    w_ = rng.rand(b, nq, heads, len(shapes), P).astype(np.float32)
+    w_ = w_ / w_.sum(axis=(-2, -1), keepdims=True)
+
+    ours = ms_deform_attn(jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w_))
+    ref = _torch_msda_core(
+        torch.from_numpy(value), shapes, torch.from_numpy(loc), torch.from_numpy(w_)
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_msda_module_runs_with_level_slot_mismatch():
+    """Projections sized for 4 levels, fed 3 (HAHI's configuration)."""
+    m = MultiScaleDeformableAttention(embed_dims=32, num_heads=4, num_levels=4,
+                                      num_points=2)
+    shapes = [(4, 4), (2, 2), (1, 2)]
+    nv = sum(h * w for h, w in shapes)
+    q = jnp.ones((1, 5, 32))
+    v = jnp.ones((1, nv, 32))
+    ref = jnp.broadcast_to(jnp.full((1, 5, 1, 2), 0.5), (1, 5, 3, 2))
+    variables = m.init(jax.random.PRNGKey(0), q, v, None, ref, shapes)
+    out = m.apply(variables, q, v, None, ref, shapes)
+    assert out.shape == (1, 5, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sine_positional_encoding_matches_reference_math():
+    """Vendored DETR sine PE math (src/model/utils/positional_encoding.py:52-87),
+    normalize=False path, all-valid mask."""
+    h, w, nf = 5, 7, 8
+    pe = sine_positional_encoding(h, w, num_feats=nf)
+    assert pe.shape == (h, w, 2 * nf)
+    mask = torch.zeros(1, h, w, dtype=torch.bool)
+    not_mask = ~mask
+    y_embed = not_mask.cumsum(1, dtype=torch.float32)
+    x_embed = not_mask.cumsum(2, dtype=torch.float32)
+    dim_t = torch.arange(nf, dtype=torch.float32)
+    dim_t = 10000 ** (2 * (dim_t // 2) / nf)
+    pos_x = x_embed[:, :, :, None] / dim_t
+    pos_y = y_embed[:, :, :, None] / dim_t
+    pos_x = torch.stack(
+        (pos_x[:, :, :, 0::2].sin(), pos_x[:, :, :, 1::2].cos()), dim=4
+    ).view(1, h, w, -1)
+    pos_y = torch.stack(
+        (pos_y[:, :, :, 0::2].sin(), pos_y[:, :, :, 1::2].cos()), dim=4
+    ).view(1, h, w, -1)
+    ref = torch.cat((pos_y, pos_x), dim=3)[0].numpy()
+    np.testing.assert_allclose(pe, ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("self_att,cross_att", [(False, False), (True, True)])
+def test_hahi_neck_shapes(self_att, cross_att):
+    chans = (32, 64, 128, 128)
+    neck = HAHIHeteroNeck(in_channels=chans, out_channels=chans,
+                          embedding_dim=64, self_att=self_att,
+                          cross_att=cross_att, num_points=2, num_heads=4,
+                          pe_num_feats=32)
+    rng = np.random.RandomState(2)
+    fp = [
+        jnp.asarray(rng.randn(1, 16, 24, chans[0]).astype(np.float32)),
+        jnp.asarray(rng.randn(1, 8, 12, chans[1]).astype(np.float32)),
+        jnp.asarray(rng.randn(1, 4, 6, chans[2]).astype(np.float32)),
+        jnp.asarray(rng.randn(1, 2, 3, chans[3]).astype(np.float32)),
+    ]
+    variables = neck.init(jax.random.PRNGKey(0), fp)
+    outs = neck.apply(variables, fp)
+    assert len(outs) == 4
+    for o, f, c in zip(outs, fp, chans):
+        assert o.shape == (1, f.shape[1], f.shape[2], c)
+        assert np.isfinite(np.asarray(o)).all()
+
+
+def test_addhahi_head_end_to_end():
+    """Swin_ADDHAHI head on a fake Swin-L pyramid (reference shipped config:
+    attention off)."""
+    from diffusiondepth_tpu.models.heads import DDIMDepthEstimate_Swin_ADDHAHI
+
+    head = DDIMDepthEstimate_Swin_ADDHAHI(inference_steps=2)
+    b, h, w = 1, 64, 96
+    fp = [
+        jnp.ones((b, h // 4, w // 4, 192)),
+        jnp.ones((b, h // 8, w // 8, 384)),
+        jnp.ones((b, h // 16, w // 16, 768)),
+        jnp.ones((b, h // 32, w // 32, 1536)),
+    ]
+    gt = jnp.ones((b, h, w, 1))
+    variables = head.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        fp, gt_depth_map=gt, train=False,
+    )
+    out = head.apply(variables, fp, gt_depth_map=gt, train=False,
+                     rngs={"diffusion": jax.random.PRNGKey(2)})
+    assert out["pred"].shape == (b, h, w, 1)
+    # hahi params present
+    assert "hahineck" in variables["params"]
