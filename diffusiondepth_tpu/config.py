@@ -37,6 +37,9 @@ HEAD_CHOICES = (
     "DDIMDepthEstimate_ResVis",
     "DDIMDepthEstimate_Swin_ADDHAHIVis",
     "DDIMDepthEstimate_MPVIT_ADDHAHI",
+    # unregistered 'bins' extras of the reference (SURVEY.md 2.3), usable here
+    "DDIMDepthEstimate_Swin",
+    "DDIMDepthEstimate_Swin_Bins_ADDVis",
 )
 
 
@@ -75,6 +78,8 @@ class Config:
 
     inference_steps: int = 20
     num_train_timesteps: int = 1000
+    # 'uniform' (scheduling_ddim) | 'biased' (scheduling_ddim_si SI table)
+    timestep_schedule: str = "uniform"
 
     # ---- Training (reference src/config.py:146-203) ----
     loss: str = "1.0*L1+1.0*L2+1.0*DDIM"
@@ -202,6 +207,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--head_specify", type=str, default=None, choices=HEAD_CHOICES)
     p.add_argument("--inference_steps", type=int, default=d.inference_steps)
     p.add_argument("--num_train_timesteps", type=int, default=d.num_train_timesteps)
+    p.add_argument("--timestep_schedule", type=str, default=d.timestep_schedule,
+                   choices=("uniform", "biased"))
     # Training
     p.add_argument("--loss", type=str, default=d.loss)
     p.add_argument("--opt_level", type=str, default=d.opt_level,

@@ -114,28 +114,42 @@ class DDIMSchedule:
         t = (np.arange(0, num_inference_steps) * step_ratio).round()[::-1].astype(np.int64)
         return t + self.steps_offset
 
-    def biased_timesteps(self, num_inference_steps: int, sig_range: float = 4.0) -> np.ndarray:
-        """Log-spaced 'SI' timesteps concentrating steps near t=0
-        (reference: scheduling_ddim_si.py:234-251 ``set_biased_timesteps``)."""
-        x = np.linspace(0.0, 1.0, num_inference_steps + 1)[1:]
+    # the hand-picked log-spaced schedule of the reference's 'SI' variant
+    # (scheduling_ddim_si.py:32 ``dummy_prefix_times``), descending
+    SI_TIMESTEPS_20 = (999, 500, 250, 125, 80, 50, 35, 20, 15, 12,
+                       9, 8, 7, 6, 5, 4, 3, 2, 1, 0)
+
+    def biased_timesteps(self, num_inference_steps: int) -> np.ndarray:
+        """Timesteps concentrating steps near t=0, descending
+        (reference: scheduling_ddim_si.py:234-251 ``set_biased_timesteps``).
+        For 20 steps this is the reference's exact hand-picked table; other
+        counts use the same log-spacing rule."""
+        if num_inference_steps == len(self.SI_TIMESTEPS_20):
+            return np.asarray(self.SI_TIMESTEPS_20, np.int64) + self.steps_offset
+        x = np.linspace(0.0, 1.0, num_inference_steps)
         t = np.exp(np.log(float(self.num_train_timesteps)) * x) - 1.0
         t = np.clip(np.round(t), 0, self.num_train_timesteps - 1).astype(np.int64)
         t = np.unique(t)
-        # pad (by stepping down from max) so the array has exactly N entries
         while len(t) < num_inference_steps:
             candidates = np.setdiff1d(np.arange(self.num_train_timesteps), t)
             t = np.sort(np.append(t, candidates[-1]))
-        del sig_range
-        return t[::-1].copy()
+        return t[::-1].copy() + self.steps_offset
 
     def inference_tables(
         self, num_inference_steps: int, timesteps: Optional[np.ndarray] = None
     ) -> InferenceTables:
-        """Stacked per-step (t, alpha_t, alpha_prev) for scan-based sampling."""
+        """Stacked per-step (t, alpha_t, alpha_prev) for scan-based sampling.
+
+        prev(t) is the NEXT entry of the descending sequence (for uniform
+        schedules this equals ``t - step_gap``, reference
+        scheduling_ddim.py:269; for biased schedules it is the list
+        predecessor - the reference's SI step() does the same lookup,
+        scheduling_ddim_si.py:308, except its final step wraps around to
+        t=999, a latent-destroying quirk we fix to final_alpha)."""
         if timesteps is None:
             timesteps = self.inference_timesteps(num_inference_steps)
-        step_gap = self.num_train_timesteps // num_inference_steps
-        prev_timesteps = timesteps - step_gap
+        timesteps = np.asarray(timesteps, np.int64)
+        prev_timesteps = np.append(timesteps[1:], -1)
         alpha_t = self.alphas_cumprod[timesteps]
         alpha_prev = np.where(
             prev_timesteps >= 0,

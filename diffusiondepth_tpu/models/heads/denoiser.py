@@ -61,8 +61,9 @@ class ScheduledCNNRefine(nn.Module):
         self.time_embedding = nn.Embed(
             self.num_timestep_embeds, self.channels_in, dtype=self.dtype
         )
-        if self.fuse == "upsample_add":
-            # reference UpSample_add: two plain 3x3 convs, bias, no norm/act
+        if self.fuse in ("upsample_add", "upsample_concat"):
+            # reference UpSample_add / UpSample (AdaBins fusion): two plain
+            # 3x3 convs, bias, no norm/act (addHAHI.py:306-333)
             self.fuse_conv_a = nn.Conv(
                 self.channels_in, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype
             )
@@ -77,7 +78,7 @@ class ScheduledCNNRefine(nn.Module):
         align_corners=True matches the reference's F.interpolate call inside
         UpSample_add (ddim_depth_estimate_res_swin_addHAHI.py:332).
         """
-        if self.fuse == "upsample_add":
+        if self.fuse in ("upsample_add", "upsample_concat"):
             return resize_bilinear(cond, tuple(latent_hw), align_corners=True)
         return cond
 
@@ -99,6 +100,12 @@ class ScheduledCNNRefine(nn.Module):
             h = feat + ne
         elif self.fuse == "upsample_add":
             h = self.fuse_conv_b(self.fuse_conv_a(feat + ne))
+        elif self.fuse == "upsample_concat":
+            # 'bins' variants concatenate instead of adding (reference
+            # ddim_depth_estimate_res_swin_bins.py:339,369)
+            h = self.fuse_conv_b(
+                self.fuse_conv_a(jnp.concatenate([feat, ne], axis=-1))
+            )
         else:
             raise ValueError(self.fuse)
         return self.pred(h)

@@ -223,3 +223,23 @@ def test_loader_epoch_reshuffle():
     loader.set_epoch(2)
     b2 = next(iter(loader))
     assert not np.array_equal(b1["rgb"], b2["rgb"])
+
+
+def test_native_scanline_matches_numpy():
+    """C++ engine (native/depthops.cpp) == numpy spec, bit-for-bit semantics."""
+    from diffusiondepth_tpu.native import depthops
+
+    if not depthops.available():
+        pytest.skip("native depthops not built (no toolchain)")
+    rng = np.random.RandomState(1)
+    d = np.zeros((60, 80), np.float32)
+    ys, xs = rng.randint(0, 60, 300), rng.randint(0, 80, 300)
+    d[ys, xs] = rng.uniform(1, 50, 300).astype(np.float32)
+    c_native, dist_native = depthops.simple_depth_completion(d)
+    c_np, dist_np = simple_depth_completion_numpy(d)
+    np.testing.assert_allclose(c_native, c_np, rtol=1e-6)
+    np.testing.assert_allclose(dist_native, dist_np, rtol=1e-6)
+    # batched variant
+    batch = np.stack([d, d[::-1].copy()])
+    out = depthops.simple_depth_completion_batch(batch)
+    np.testing.assert_allclose(out[0], c_np, rtol=1e-6)

@@ -129,3 +129,35 @@ def test_swin_add_head_shapes_with_fake_pyramid():
     out = head.apply(variables, fp, gt_depth_map=gt, train=False,
                      rngs={"diffusion": jax.random.PRNGKey(2)})
     assert out["pred"].shape == (b, h, w, 1)
+
+
+def test_bins_head_and_biased_schedule_forward():
+    """'bins' concat-fusion head + SI biased timesteps compile and run
+    (reference: ddim_depth_estimate_res_swin_bins.py, scheduling_ddim_si.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffusiondepth_tpu.config import Config
+    from diffusiondepth_tpu.models import build_model
+
+    cfg = Config(
+        model_name="Diffusion_DCbase_", backbone_module="swin",
+        backbone_name="swin_tiny", head_specify="DDIMDepthEstimate_Swin",
+        inference_steps=2, timestep_schedule="biased",
+        patch_height=32, patch_width=48,
+    ).finalize()
+    m = build_model(cfg)
+    rng = np.random.RandomState(0)
+    gt = np.clip(rng.rand(1, 32, 48, 1) * 80 + 1, 0, 88).astype(np.float32)
+    batch = {
+        "rgb": jnp.asarray(rng.randn(1, 32, 48, 3).astype(np.float32)),
+        "dep": jnp.asarray(gt), "gt": jnp.asarray(gt),
+        "depth_map": jnp.asarray(gt),
+        "depth_mask": jnp.ones((1, 32, 48, 1), np.float32),
+    }
+    v = m.init({"params": jax.random.PRNGKey(0),
+                "diffusion": jax.random.PRNGKey(1)}, batch, train=False)
+    out = m.apply(v, batch, train=False, rngs={"diffusion": jax.random.PRNGKey(2)})
+    p = np.asarray(out["pred"])
+    assert p.shape == (1, 32, 48, 1)
+    assert np.all(np.isfinite(p))
