@@ -123,9 +123,11 @@ class Config:
     dtype: Optional[str] = None  # compute dtype override: float32|bfloat16
     mesh_shape: Optional[str] = None  # e.g. "data:8" or "data:4,model:2"
     test_batch_size: int = 1  # reference forces bs 1 at test (README.md:249)
+    tta_flip: bool = False  # flip-ensemble TTA (leaderboard protocol)
     prefetch: int = 2  # device prefetch depth in the input pipeline
     use_pallas: bool = True  # enable Pallas kernels where available
     log_every: int = 50
+    profile_dir: Optional[str] = None  # write a jax.profiler trace of steps 10-15
 
     # ---- Derived (filled by finalize(); reference src/config.py:284-288) ----
     num_gpus: int = 4
@@ -251,6 +253,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--test_batch_size", type=int, default=d.test_batch_size)
     p.add_argument("--prefetch", type=int, default=d.prefetch)
     p.add_argument("--log_every", type=int, default=d.log_every)
+    p.add_argument("--profile_dir", type=str, default=None)
+    p.add_argument("--tta_flip", action="store_true", default=False)
     return p
 
 

@@ -1,3 +1,4 @@
+from .chamfer import bins_chamfer_loss
 from .losses import (
     LossComputer,
     get_loss,
@@ -5,6 +6,13 @@ from .losses import (
     l1_loss,
     l2_loss,
     sig_loss,
+)
+from .refine_losses import (
+    compute_refine_losses,
+    depth_loss_dict,
+    depth_smooth_loss,
+    l1_depth_loss,
+    shape_reg_loss,
 )
 
 __all__ = [
@@ -14,4 +22,10 @@ __all__ = [
     "l1_loss",
     "l2_loss",
     "sig_loss",
+    "bins_chamfer_loss",
+    "compute_refine_losses",
+    "depth_loss_dict",
+    "depth_smooth_loss",
+    "l1_depth_loss",
+    "shape_reg_loss",
 ]

@@ -125,3 +125,25 @@ depth_loss_dict: Dict[str, object] = {
     "depth_smooth_loss": depth_smooth_loss,
     "shape_reg_loss": shape_reg_loss,
 }
+
+
+def compute_refine_losses(loss_cfgs, pred_depth, gt_depth, **kwargs):
+    """cfg-driven dispatch, mirroring BaseDepthRefine.loss (reference
+    mmbev_base_depth_refine.py:118-134): each cfg is
+    ``{'loss_func': name, 'name': key, 'weight': w, ...}``; unknown
+    loss_funcs are skipped like the reference."""
+    loss_dict = {}
+    for cfg in loss_cfgs:
+        fn = depth_loss_dict.get(cfg.get("loss_func"))
+        if fn is None:
+            continue
+        extra = {k: v for k, v in cfg.items() if k not in ("loss_func", "name")}
+        import inspect
+
+        sig = inspect.signature(fn)
+        call_kwargs = dict(kwargs, **extra)
+        call_kwargs = {k: v for k, v in call_kwargs.items() if k in sig.parameters}
+        if "gt_depth" in sig.parameters:
+            call_kwargs["gt_depth"] = gt_depth
+        loss_dict[cfg["name"]] = fn(pred_depth=pred_depth, **call_kwargs)
+    return loss_dict

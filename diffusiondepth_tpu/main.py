@@ -34,7 +34,7 @@ from .data import DataLoader, get as get_data
 from .losses import LossComputer
 from .metrics import METRIC_NAMES
 from .models import build_model
-from .parallel.mesh import create_mesh, shard_batch
+from .parallel.mesh import create_mesh, process_info, shard_batch
 from .summary import get as get_summary
 from .training.optim import make_optimizer
 from .training.steps import make_eval_step, make_train_step
@@ -96,6 +96,7 @@ def train(args: Config):
 
     mesh = create_mesh(cfg.mesh_shape)
     print(f"devices: {jax.device_count()} | mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+    hosts = process_info()
 
     data_cls = get_data(cfg)
     ds_train = data_cls(cfg, "train")
@@ -104,9 +105,11 @@ def train(args: Config):
     loader_train = DataLoader(
         ds_train, cfg.batch_size, shuffle=True, drop_last=True,
         num_threads=max(cfg.num_threads, 4), prefetch=cfg.prefetch, seed=cfg.seed,
+        **hosts,
     )
     loader_val = DataLoader(
-        ds_val, cfg.test_batch_size, shuffle=False, num_threads=2, seed=cfg.seed
+        ds_val, cfg.test_batch_size, shuffle=False, num_threads=2, seed=cfg.seed,
+        **hosts,
     )
 
     rng = jax.random.PRNGKey(cfg.seed)
@@ -134,10 +137,17 @@ def train(args: Config):
         loader_train.set_epoch(epoch)
         t0 = time.time()
         for i, batch in enumerate(loader_train):
+            # profiler window: steps 10-15 of the first epoch
+            # (reference has no tracing at all, SURVEY.md section 5)
+            if cfg.profile_dir and epoch == start_epoch and i == 10:
+                jax.profiler.start_trace(cfg.profile_dir)
             rng, step_rng = jax.random.split(rng)
             dbatch = _device_batch(batch, mesh)
             state, loss, loss_val, metric_val = train_step(state, dbatch, step_rng)
             writer_train.add(loss=np.asarray(loss_val), metric=np.asarray(metric_val))
+            if cfg.profile_dir and epoch == start_epoch and i == 15:
+                jax.block_until_ready(loss)
+                jax.profiler.stop_trace()
             if i % cfg.log_every == 0:
                 print(
                     f"epoch {epoch} step {i}/{steps_per_epoch} "
@@ -182,7 +192,7 @@ def test(args: Config):
         state = restore_state(state, ckpt)
         print(f"loaded checkpoint {cfg.pretrain}")
 
-    eval_step = make_eval_step(model, mesh=mesh)
+    eval_step = make_eval_step(model, mesh=mesh, tta_flip=cfg.tta_flip)
     writer = get_summary(cfg)(cfg.save_dir, "test", cfg)
 
     t_total, n = 0.0, 0

@@ -62,3 +62,33 @@ def shard_batch(batch, mesh: Mesh):
         lambda x: jax.device_put(x, sh) if hasattr(x, "ndim") and x.ndim > 0 else x,
         batch,
     )
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+):
+    """Multi-host runtime init — the TPU-native replacement for the
+    reference's NCCL env-var rendezvous (src/main.py:6-7,72-73). On TPU pods
+    all arguments are auto-detected from the environment; on other platforms
+    pass them explicitly. Safe to call when already initialised."""
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # already initialised (or single-process run)
+        if "already" not in str(e).lower():
+            raise
+
+
+def process_info() -> Dict[str, int]:
+    """Host-sharding identity for the input pipeline (the DistributedSampler
+    rank/world_size equivalent)."""
+    import jax
+
+    return {"host_index": jax.process_index(), "host_count": jax.process_count()}

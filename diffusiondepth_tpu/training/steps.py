@@ -72,21 +72,51 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model, mesh: Optional[Mesh] = None) -> Callable:
+def _hflip_batch(batch: Dict) -> Dict:
+    """Mirror all image-like entries along W (the TTA flip; intrinsics K are
+    unused by the network so no principal-point fix is needed on-device)."""
+    return {
+        k: (jnp.flip(v, axis=2) if hasattr(v, "ndim") and v.ndim == 4 else v)
+        for k, v in batch.items()
+    }
+
+
+def make_eval_step(
+    model, mesh: Optional[Mesh] = None, tta_flip: bool = False
+) -> Callable:
     """Returns ``eval_step(state, batch, rng) -> (pred, metric_row)``.
 
     Uses running BN statistics (train=False) and skips the ddim-loss denoiser
     call the reference wastefully makes at test time
     (ddim_depth_estimate_res_swin_addHAHI.py:165).
+
+    ``tta_flip=True`` is the leaderboard protocol's flip-ensemble
+    (BASELINE.json config #5): the batch and its horizontal mirror run as one
+    doubled batch (so the ensemble shards over the mesh data axis like any
+    other batch) and predictions are averaged after unflipping.
     """
 
     def eval_step(state: TrainState, batch: Dict, rng: jax.Array):
-        out = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            batch,
-            train=False,
-            rngs={"diffusion": rng},
-        )
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if tta_flip:
+            b = batch["rgb"].shape[0]
+            flipped = _hflip_batch(batch)
+            both = {
+                k: (jnp.concatenate([batch[k], flipped[k]], axis=0)
+                    if hasattr(batch[k], "ndim") and batch[k].ndim >= 1 else batch[k])
+                for k in batch
+            }
+            out = model.apply(
+                variables, both, train=False, rngs={"diffusion": rng}
+            )
+            pred = 0.5 * (
+                out["pred"][:b] + jnp.flip(out["pred"][b:], axis=2)
+            )
+            out = dict(out, pred=pred)
+        else:
+            out = model.apply(
+                variables, batch, train=False, rngs={"diffusion": rng}
+            )
         metric_val = evaluate_depth_metrics(batch, out)
         return out["pred"], metric_val
 

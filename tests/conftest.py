@@ -20,3 +20,19 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules. The full suite builds
+    dozens of models in one process; on the CPU backend the accumulated
+    executables + weakref caches can abort the interpreter (SIGABRT in
+    array materialization) near the end of the run."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
