@@ -92,3 +92,29 @@ def process_info() -> Dict[str, int]:
     import jax
 
     return {"host_index": jax.process_index(), "host_count": jax.process_count()}
+
+
+def state_sharding(state, mesh: Mesh, min_size: int = 2**16):
+    """Tensor-parallel sharding rules for a TrainState over a mesh with a
+    'model' axis: large parameters (>= min_size elements) whose trailing
+    (output-feature) dimension divides the model-axis size are sharded on it;
+    everything else (and the whole state when the mesh is data-only) is
+    replicated. GSPMD then inserts the TP collectives — this framework never
+    writes them by hand (the reference has no TP at all, SURVEY.md 2.5)."""
+    import jax
+
+    axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    model_size = axes.get("model", 1)
+
+    def spec(x):
+        if (
+            model_size > 1
+            and hasattr(x, "ndim")
+            and x.ndim >= 2
+            and x.size >= min_size
+            and x.shape[-1] % model_size == 0
+        ):
+            return NamedSharding(mesh, P(*([None] * (x.ndim - 1) + ["model"])))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec, state)

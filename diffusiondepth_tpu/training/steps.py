@@ -32,8 +32,14 @@ def make_train_step(
     loss_computer: LossComputer,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    state_shardings=None,
 ) -> Callable:
-    """Returns ``train_step(state, batch, rng) -> (state, loss, loss_val)``."""
+    """Returns ``train_step(state, batch, rng) -> (state, loss, loss_val)``.
+
+    ``state_shardings`` (from ``parallel.state_sharding``) enables tensor
+    parallelism: parameters sharded on the mesh 'model' axis stay sharded
+    through the update; None keeps the pure data-parallel (replicated-params)
+    layout."""
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
         batch_size = batch["rgb"].shape[0]
@@ -63,10 +69,11 @@ def make_train_step(
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
+        state_sh = state_shardings if state_shardings is not None else repl
         return jax.jit(
             train_step,
-            in_shardings=(repl, data, repl),
-            out_shardings=(repl, repl, repl, repl),
+            in_shardings=(state_sh, data, repl),
+            out_shardings=(state_sh, repl, repl, repl),
             donate_argnums=(0,) if donate else (),
         )
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())

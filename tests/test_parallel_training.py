@@ -142,3 +142,41 @@ def test_split_backbone_training_lr():
     bb_leaf = np.abs(np.asarray(
         jax.tree_util.tree_leaves(updates["depth_backbone"])[0])).max()
     np.testing.assert_allclose(bb_leaf, 0.1 * head_leaf, rtol=1e-3)
+
+
+def test_tensor_parallel_2d_mesh_step():
+    """data:4,model:2 mesh: large params shard over 'model', batch over
+    'data'; one train step runs and matches the data-parallel loss."""
+    from diffusiondepth_tpu.parallel import state_sharding
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = _cfg(batch_size=8)
+    model = build_model(cfg)
+    batch = _batch(8)
+    loss_computer = LossComputer(cfg)
+
+    import optax
+    from diffusiondepth_tpu.training import make_optimizer
+
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    state = create_train_state(model, tx, batch, jax.random.PRNGKey(0))
+
+    mesh_dp = create_mesh("data:8")
+    step_dp = make_train_step(model, loss_computer, mesh=mesh_dp, donate=False)
+    _, loss_dp, _, _ = step_dp(state, shard_batch(batch, mesh_dp),
+                               jax.random.PRNGKey(1))
+
+    mesh_tp = create_mesh("data:4,model:2")
+    sh = state_sharding(state, mesh_tp, min_size=2**12)
+    state_tp = jax.device_put(state, sh)
+    # at least one parameter actually sharded on 'model'
+    specs = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda s: s.spec, sh)
+    )
+    assert any("model" in str(s) for s in specs)
+    step_tp = make_train_step(model, loss_computer, mesh=mesh_tp,
+                              donate=False, state_shardings=sh)
+    _, loss_tp, _, _ = step_tp(state_tp, shard_batch(batch, mesh_tp),
+                               jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(loss_tp), float(loss_dp), rtol=1e-4)
