@@ -46,7 +46,8 @@ class DeepDepthTransformWithUpsampling(nn.Module, _InvDecodeMixin):
     def setup(self):
         self.enc1 = ConvBNAct(self.hidden, 3, 2, 1, act="leaky_relu", dtype=self.dtype)
         self.enc2 = ConvBNAct(self.hidden, 3, 1, 1, act=None, dtype=self.dtype)
-        self.dec_up = DeconvBNAct(self.hidden, 4, 2, act="relu", dtype=self.dtype)
+        self.dec_up = DeconvBNAct(self.hidden, 4, 2, act="relu", use_bias=True,
+                                  dtype=self.dtype)
         self.dec_out = ConvBNAct(1, 3, 1, 1, use_bn=False, act=None, dtype=self.dtype)
 
     def t(self, depth: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -74,7 +75,8 @@ class DeepDepthTransformWithUpsampling1x1(nn.Module, _InvDecodeMixin):
     def setup(self):
         self.enc1 = nn.Conv(self.hidden, (1, 1), use_bias=False, dtype=self.dtype)
         self.enc2 = nn.Conv(self.hidden, (1, 1), use_bias=False, dtype=self.dtype)
-        self.dec_up = DeconvBNAct(self.hidden, 4, 2, act="relu", dtype=self.dtype)
+        self.dec_up = DeconvBNAct(self.hidden, 4, 2, act="relu", use_bias=True,
+                                  dtype=self.dtype)
         self.dec_out = ConvBNAct(1, 3, 1, 1, use_bn=False, act=None, dtype=self.dtype)
 
     def t(self, depth, train: bool = False):

@@ -259,3 +259,192 @@ def load_torch_file(path: str) -> Dict[str, np.ndarray]:
             break
     return {k: v.detach().cpu().numpy() for k, v in ckpt.items()
             if hasattr(v, "detach")}
+
+
+# ----------------------------------------------- full reference checkpoints
+
+
+def _conv_bn(sd, conv_key, bn_key, params, stats, path, deconv=False):
+    """Map a torch (conv|deconv, bn) pair onto our ConvBNAct/DeconvBNAct
+    layout (flax names Conv_0 / deconv + BatchNorm_0/BatchNorm_0)."""
+    w = sd[conv_key + ".weight"]
+    if deconv:
+        entry = {"kernel": conv_transpose_kernel(w)}
+        name = "deconv"
+    else:
+        entry = {"kernel": conv_kernel(w)}
+        name = "Conv_0"
+    if conv_key + ".bias" in sd:
+        entry["bias"] = sd[conv_key + ".bias"]
+    params[path] = {name: entry}
+    if bn_key is not None:
+        p, s = bn_params(sd, bn_key)
+        params[path]["BatchNorm_0"] = {"BatchNorm_0": p}
+        stats[path] = {"BatchNorm_0": {"BatchNorm_0": s}}
+
+
+def _conv_gn_block(sd, prefix, params_out):
+    """torch Sequential(conv, GN, relu, conv, GN, relu) -> our _ConvGNBlock
+    (denoiser noise_embedding / pred; reference addHAHI.py:339-359)."""
+    params_out.update({
+        "Conv_0": {"kernel": conv_kernel(sd[prefix + ".0.weight"]),
+                   "bias": sd[prefix + ".0.bias"]},
+        "GroupNorm_0": {"GroupNorm_0": {"scale": sd[prefix + ".1.weight"],
+                                        "bias": sd[prefix + ".1.bias"]}},
+        "Conv_1": {"kernel": conv_kernel(sd[prefix + ".3.weight"]),
+                   "bias": sd[prefix + ".3.bias"]},
+        "GroupNorm_1": {"GroupNorm_0": {"scale": sd[prefix + ".4.weight"],
+                                        "bias": sd[prefix + ".4.bias"]}},
+    })
+
+
+def convert_resnet_mmbev(sd: Dict[str, np.ndarray], prefix: str = "") -> Tuple[Dict, Dict]:
+    """mmbev ResNet ('layers.{i}.{j}.conv1/bn1/conv2/bn2/downsample') ->
+    our layer{i}_block{j} naming. Returns (params, batch_stats)."""
+    sd = {k[len(prefix):]: np.asarray(v) for k, v in sd.items()
+          if k.startswith(prefix)}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    idx = set()
+    for k in sd:
+        m = re.match(r"layers\.(\d+)\.(\d+)\.", k)
+        if m:
+            idx.add((int(m.group(1)), int(m.group(2))))
+    for (i, j) in sorted(idx):
+        src = f"layers.{i}.{j}"
+        name = f"layer{i}_block{j}"
+        p: Dict[str, Any] = {}
+        s: Dict[str, Any] = {}
+        for ci, (ck, bk) in enumerate((("conv1", "bn1"), ("conv2", "bn2"))):
+            p[f"Conv_{ci}"] = {"kernel": conv_kernel(sd[f"{src}.{ck}.weight"])}
+            bp, bs = bn_params(sd, f"{src}.{bk}")
+            p[f"BatchNorm_{ci}"] = {"BatchNorm_0": bp}
+            s[f"BatchNorm_{ci}"] = {"BatchNorm_0": bs}
+        if f"{src}.downsample.weight" in sd:
+            p["downsample"] = {
+                "kernel": conv_kernel(sd[f"{src}.downsample.weight"]),
+                "bias": sd[f"{src}.downsample.bias"],
+            }
+        params[name] = p
+        stats[name] = s
+    return params, stats
+
+
+def convert_reference_model(
+    sd: Dict[str, np.ndarray],
+    swin_depths: Tuple[int, ...] = (2, 2, 18, 2),
+    num_levels: int = 4,
+) -> Tuple[Dict, Dict]:
+    """Full reference Diffusion_DCbase_ checkpoint ('net' state dict) ->
+    (params, batch_stats) trees for our Diffusion_DCbase_Model.
+
+    Covers the flagship composition (Swin or mmbev-ResNet backbone +
+    DDIMDepthEstimate_* head with FPN, DeepDepthTransformWithUpsampling,
+    ScheduledCNNRefine, optional HAHI conv path). The reference's dormant
+    HAHI attention weights (cross/self att off in shipped configs,
+    SURVEY.md 2.3) and positional-encoding buffers are skipped.
+    Merge over init trees with ``merge_params`` (strict=False semantics).
+    """
+    sd = {k[7:] if k.startswith("module.") else k: np.asarray(v)
+          for k, v in sd.items()}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    # ---- backbone
+    if any(k.startswith("depth_backbone.stages.") for k in sd):
+        params["depth_backbone"] = convert_swin_mmcv(
+            sd, depths=swin_depths, prefix="depth_backbone.")
+    elif any(k.startswith("depth_backbone.layers.") for k in sd):
+        p, s = convert_resnet_mmbev(sd, prefix="depth_backbone.")
+        params["depth_backbone"] = p
+        stats["depth_backbone"] = s
+
+    hp: Dict[str, Any] = {}
+    hs: Dict[str, Any] = {}
+
+    # ---- FPN (head conv_lateral.{i}.0/.1, conv_up.{i}.0/.1)
+    for i in range(num_levels):
+        if f"depth_head.conv_lateral.{i}.0.weight" in sd:
+            _conv_bn(sd, f"depth_head.conv_lateral.{i}.0",
+                     f"depth_head.conv_lateral.{i}.1",
+                     hp, hs, f"conv_lateral_{i}")
+    for i in range(num_levels - 1):
+        if f"depth_head.conv_up.{i}.0.weight" in sd:
+            _conv_bn(sd, f"depth_head.conv_up.{i}.0",
+                     f"depth_head.conv_up.{i}.1",
+                     hp, hs, f"conv_up_{i}", deconv=True)
+
+    # ---- depth transform (reference depth_transform.py:15-26)
+    dt = "depth_head.depth_transform"
+    if f"{dt}.conv_transform.0.0.weight" in sd:
+        dtp: Dict[str, Any] = {}
+        dts: Dict[str, Any] = {}
+        _conv_bn(sd, f"{dt}.conv_transform.0.0", f"{dt}.conv_transform.0.1",
+                 dtp, dts, "enc1")
+        _conv_bn(sd, f"{dt}.conv_transform.1.0", f"{dt}.conv_transform.1.1",
+                 dtp, dts, "enc2")
+        _conv_bn(sd, f"{dt}.conv_inv_transform.0", f"{dt}.conv_inv_transform.1",
+                 dtp, dts, "dec_up", deconv=True)
+        dtp["dec_out"] = {"Conv_0": {
+            "kernel": conv_kernel(sd[f"{dt}.conv_inv_transform.3.0.weight"]),
+            "bias": sd[f"{dt}.conv_inv_transform.3.0.bias"],
+        }}
+        hp["depth_transform"] = dtp
+        hs["depth_transform"] = dts
+
+    # ---- denoiser (ScheduledCNNRefine, reference addHAHI.py:336-381)
+    dn = "depth_head.model"
+    if f"{dn}.time_embedding.weight" in sd:
+        mp: Dict[str, Any] = {
+            "time_embedding": {"embedding": sd[f"{dn}.time_embedding.weight"]},
+            "noise_embedding": {},
+            "pred": {},
+        }
+        _conv_gn_block(sd, f"{dn}.noise_embedding", mp["noise_embedding"])
+        _conv_gn_block(sd, f"{dn}.pred", mp["pred"])
+        for ours, theirs in (("fuse_conv_a", "convA"), ("fuse_conv_b", "convB")):
+            for cand in (f"{dn}.upsample_add.{theirs}.conv",
+                         f"{dn}.upsample_fuse.{theirs}.conv"):
+                if cand + ".weight" in sd:
+                    mp[ours] = {"kernel": conv_kernel(sd[cand + ".weight"]),
+                                "bias": sd[cand + ".bias"]}
+        hp["model"] = mp
+
+    # ---- HAHI conv path (reference hahi.py:54-101); attention weights in
+    # the checkpoint are dormant (configs ship att off) and are skipped
+    hh = "depth_head.hahineck"
+    if f"{hh}.lateral_convs.0.conv.weight" in sd:
+        np_, ns = {}, {}
+        for i in range(num_levels):
+            _conv_bn(sd, f"{hh}.lateral_convs.{i}.conv",
+                     f"{hh}.lateral_convs.{i}.bn", np_, ns, f"lateral_{i}")
+        for i in range(num_levels - 1):
+            _conv_bn(sd, f"{hh}.trans_proj.{i}.conv",
+                     f"{hh}.trans_proj.{i}.bn", np_, ns, f"trans_proj_{i}")
+            _conv_bn(sd, f"{hh}.trans_fusion.{i}.conv",
+                     f"{hh}.trans_fusion.{i}.bn", np_, ns, f"trans_fusion_{i}")
+        _conv_bn(sd, f"{hh}.conv_proj.0.conv", f"{hh}.conv_proj.0.bn",
+                 np_, ns, "conv_proj")
+        _conv_bn(sd, f"{hh}.conv_fusion.0.conv", f"{hh}.conv_fusion.0.bn",
+                 np_, ns, "conv_fusion")
+        hp["hahineck"] = np_
+        hs["hahineck"] = ns
+
+    params["depth_head"] = hp
+    stats["depth_head"] = hs
+    return params, stats
+
+
+def load_reference_checkpoint(path: str, variables, swin_depths=(2, 2, 18, 2)):
+    """One-call load of a reference ``model_EEEEE.pt`` into our variables:
+    read the torch file, convert, merge over the init trees (strict=False
+    semantics like reference src/main.py:423). Returns new
+    {'params', 'batch_stats'} dicts."""
+    import flax
+
+    sd = load_torch_file(path)
+    params, stats = convert_reference_model(sd, swin_depths=swin_depths)
+    merged_p = merge_params(flax.core.unfreeze(variables["params"]), params)
+    merged_s = merge_params(
+        flax.core.unfreeze(variables.get("batch_stats", {})), stats)
+    return {"params": merged_p, "batch_stats": merged_s}
