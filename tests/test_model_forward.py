@@ -161,3 +161,36 @@ def test_bins_head_and_biased_schedule_forward():
     p = np.asarray(out["pred"])
     assert p.shape == (1, 32, 48, 1)
     assert np.all(np.isfinite(p))
+
+
+def test_mpvit_addhahi_end_to_end():
+    """mpvit_small + DDIMDepthEstimate_MPVIT_ADDHAHI composition: the head's
+    channel spec (128,216,288,288) must match the backbone pyramid
+    (reference ..._mpvit_HAHI.py:32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffusiondepth_tpu.config import Config
+    from diffusiondepth_tpu.models import build_model
+
+    cfg = Config(
+        model_name="Diffusion_DCbase_", backbone_module="mpvit",
+        backbone_name="mpvit_small",
+        head_specify="DDIMDepthEstimate_MPVIT_ADDHAHI",
+        inference_steps=2, patch_height=32, patch_width=48,
+    ).finalize()
+    m = build_model(cfg)
+    rng = np.random.RandomState(0)
+    gt = np.clip(rng.rand(1, 32, 48, 1) * 80 + 1, 0, 88).astype(np.float32)
+    batch = {
+        "rgb": jnp.asarray(rng.randn(1, 32, 48, 3).astype(np.float32)),
+        "dep": jnp.asarray(gt), "gt": jnp.asarray(gt),
+        "depth_map": jnp.asarray(gt),
+        "depth_mask": jnp.ones((1, 32, 48, 1), np.float32),
+    }
+    v = m.init({"params": jax.random.PRNGKey(0),
+                "diffusion": jax.random.PRNGKey(1)}, batch, train=False)
+    out = m.apply(v, batch, train=False, rngs={"diffusion": jax.random.PRNGKey(2)})
+    p = np.asarray(out["pred"])
+    assert p.shape == (1, 32, 48, 1)
+    assert np.all(np.isfinite(p))
