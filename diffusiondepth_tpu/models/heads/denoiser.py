@@ -80,6 +80,11 @@ class ScheduledCNNRefine(nn.Module):
         """
         if self.fuse in ("upsample_add", "upsample_concat"):
             return resize_bilinear(cond, tuple(latent_hw), align_corners=True)
+        # 'add' assumes the condition already sits at latent resolution (the
+        # Res head with the default H/2 transform); with other transforms
+        # (e.g. the X4 quarter-res latent) bring it there the same way
+        if tuple(cond.shape[1:3]) != tuple(latent_hw):
+            return resize_bilinear(cond, tuple(latent_hw), align_corners=True)
         return cond
 
     def __call__(self, noisy_latent: jnp.ndarray, t, cond_latent: jnp.ndarray) -> jnp.ndarray:

@@ -194,3 +194,35 @@ def test_mpvit_addhahi_end_to_end():
     p = np.asarray(out["pred"])
     assert p.shape == (1, 32, 48, 1)
     assert np.all(np.isfinite(p))
+
+
+def test_x4_model_variant_quarter_res_latent():
+    """Diffusion_DCx4base_: X4 depth transform gives a 1/4-res latent
+    (the reference's x4 module is unresolvable in its shipped tree,
+    SURVEY.md 2.7 — this is the working equivalent)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffusiondepth_tpu.config import Config
+    from diffusiondepth_tpu.models import build_model
+
+    cfg = Config(
+        model_name="Diffusion_DCx4base_", backbone_module="mmbev_resnet",
+        backbone_name="mmbev_res18", head_specify="DDIMDepthEstimate_Res",
+        inference_steps=2, patch_height=32, patch_width=48,
+    ).finalize()
+    m = build_model(cfg)
+    rng = np.random.RandomState(0)
+    gt = np.clip(rng.rand(1, 32, 48, 1) * 80 + 1, 0, 88).astype(np.float32)
+    batch = {
+        "rgb": jnp.asarray(rng.randn(1, 32, 48, 3).astype(np.float32)),
+        "dep": jnp.asarray(gt), "gt": jnp.asarray(gt),
+        "depth_map": jnp.asarray(gt),
+        "depth_mask": jnp.ones((1, 32, 48, 1), np.float32),
+    }
+    v = m.init({"params": jax.random.PRNGKey(0),
+                "diffusion": jax.random.PRNGKey(1)}, batch, train=False)
+    out = m.apply(v, batch, train=False, rngs={"diffusion": jax.random.PRNGKey(2)})
+    assert out["gt_map_t"].shape[1:3] == (8, 12)  # 1/4 resolution latent
+    assert out["pred"].shape == (1, 32, 48, 1)
+    assert np.all(np.isfinite(np.asarray(out["pred"])))

@@ -64,3 +64,25 @@ def test_nearest_matches_torch():
     ours = resize_nearest(jnp.asarray(x), (23, 9))
     theirs = F.interpolate(_nchw(x), size=(23, 9), mode="nearest")
     np.testing.assert_allclose(np.asarray(ours), _nhwc(theirs), rtol=0, atol=0)
+
+
+def test_adaptive_pad_matches_torch_same_semantics():
+    """'same' mode == torch/mmcv AdaptivePadding: output size = ceil(in/stride)."""
+    import jax.numpy as jnp
+
+    from diffusiondepth_tpu.ops.padding import PatchEmbed, adaptive_pad
+
+    x = jnp.ones((1, 13, 17, 3))
+    for mode in ("corner", "same"):
+        y = adaptive_pad(x, kernel_size=4, stride=4, mode=mode)
+        assert y.shape == (1, 16, 20, 3)
+        if mode == "corner":  # content sits top-left
+            np.testing.assert_array_equal(np.asarray(y[:, :13, :17]), 1.0)
+            np.testing.assert_array_equal(np.asarray(y[:, 13:, :]), 0.0)
+
+    import jax
+
+    pe = PatchEmbed(embed_dims=8, kernel_size=4)
+    v = pe.init(jax.random.PRNGKey(0), x)
+    out = pe.apply(v, x)
+    assert out.shape == (1, 4, 5, 8)
