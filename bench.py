@@ -29,6 +29,13 @@ STEPS = 20
 
 def main():
     import jax
+
+    # persistent compilation cache: the Swin-L 352x1216 program takes ~10 min
+    # to compile through the axon tunnel on first build, ~seconds afterwards
+    cache_dir = str(Path(__file__).parent / ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
     import jax.numpy as jnp
 
     from diffusiondepth_tpu.config import Config
