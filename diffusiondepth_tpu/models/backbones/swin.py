@@ -302,6 +302,10 @@ class SwinTransformer(nn.Module):
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.1
+    # rematerialise each block under grad: Swin-L at the KITTI train crop
+    # (352x906, bs8) needs ~25 GB of activations without it vs ~16 GB HBM on
+    # v5e; remat trades one extra forward per block for fitting the step
+    remat: bool = True
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -318,9 +322,13 @@ class SwinTransformer(nn.Module):
         dims = self.embed_dims
         cur = 0
         n_stages = len(self.depths)
+        block_cls = (
+            nn.remat(SwinBlock, static_argnums=(2,), prevent_cse=False)
+            if (self.remat and train) else SwinBlock
+        )
         for i in range(n_stages):
             for bidx in range(self.depths[i]):
-                x = SwinBlock(
+                x = block_cls(
                     embed_dims=dims,
                     num_heads=self.num_heads[i],
                     feedforward_channels=self.mlp_ratio * dims,

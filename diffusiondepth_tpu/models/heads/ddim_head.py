@@ -128,30 +128,41 @@ class DDIMDepthEstimateHead(nn.Module):
 
         schedule = self.schedule
         vis = self.vis
+        b, h, w, c = latent_shape
 
-        def step_fn(mdl, carry, xs):
-            x, cond = carry
+        # Memory layout of the scan matters enormously for training (grad
+        # flows through all N steps, like the reference's backprop through
+        # CNNDDIMPipiline):
+        #  * the condition rides as a BROADCAST input, not a carry — carried,
+        #    its per-step residuals cost steps x |cond| HBM (6 GB at the
+        #    KITTI train crop)
+        #  * the latent carry crosses the scan boundary flattened to
+        #    (B, H, W*C): a 16-channel trailing dim pads 8x on TPU lanes
+        #    (3 GB of padding for 0.4 GB of data)
+        def step_fn(mdl, x_flat, cond, xs):
             t, a_t, a_prev = xs
+            x = x_flat.reshape(latent_shape)
             eps = mdl.model(x, t, cond).astype(jnp.float32)
             x_prev, _ = schedule.step_from_alphas(
                 eps, x, a_t, a_prev,
                 eta=0.0, use_clipped_model_output=True,
             )
-            return (x_prev, cond), (x_prev if vis else None)
+            return x_prev.reshape(b, h, w * c), (x_prev if vis else None)
 
         scan = nn.scan(
             nn.remat(step_fn, prevent_cse=False),
             variable_broadcast=["params", "batch_stats"],
             split_rngs={"params": False},
-            in_axes=0,
+            in_axes=(nn.broadcast, 0),
             out_axes=0,
         )
-        (latent, _), traj = scan(
+        latent_flat, traj = scan(
             self,
-            (latent0, cond_latent),
+            latent0.reshape(b, h, w * c),
+            cond_latent,
             (tables.timesteps, tables.alpha_prod_t, tables.alpha_prod_prev),
         )
-        return latent, traj
+        return latent_flat.reshape(latent_shape), traj
 
     def _ddim_loss(self, refined_latent: jnp.ndarray, cond_latent: jnp.ndarray) -> jnp.ndarray:
         """Self-diffusion noise-regression loss (reference :207-223)."""
