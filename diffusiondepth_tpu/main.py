@@ -104,7 +104,7 @@ def train(args: Config):
 
     loader_train = DataLoader(
         ds_train, cfg.batch_size, shuffle=True, drop_last=True,
-        num_threads=max(cfg.num_threads, 4), prefetch=cfg.prefetch, seed=cfg.seed,
+        num_threads=max(cfg.num_threads, 1), prefetch=cfg.prefetch, seed=cfg.seed,
         **hosts,
     )
     loader_val = DataLoader(

@@ -34,7 +34,11 @@ def trained(tmp_path_factory):
         lr=3e-4,
         save_dir=save_dir,
         log_every=100,
-        num_threads=2,
+        # single-threaded IO: on the 1-core CI box, loader threads racing
+        # the XLA-CPU dispatch thread pool very occasionally SIGABRTs the
+        # interpreter late in the full suite (never reproduced standalone)
+        num_threads=1,
+        prefetch=1,
     ).finalize()
     state = run_train(cfg)
     return cfg, state, save_dir
