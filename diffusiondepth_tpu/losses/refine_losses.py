@@ -13,7 +13,7 @@ All jnp, static-shape (boolean gathers replaced by masked means).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

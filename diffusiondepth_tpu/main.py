@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import numpy as np
@@ -32,7 +32,6 @@ import numpy as np
 from .config import Config, parse_args
 from .data import DataLoader, get as get_data
 from .losses import LossComputer
-from .metrics import METRIC_NAMES
 from .models import build_model
 from .parallel.mesh import create_mesh, process_info, shard_batch
 from .summary import get as get_summary

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..registry import DEPTH_TRANSFORMS
-from .common import BatchNorm, ConvBNAct, DeconvBNAct, max_pool2d
+from .common import ConvBNAct, DeconvBNAct, max_pool2d
 
 
 class _InvDecodeMixin:

@@ -24,7 +24,7 @@ converter tolerates the reference's dormant attention weights.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np

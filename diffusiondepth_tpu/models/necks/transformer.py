@@ -19,11 +19,10 @@ depth pipeline always runs full images, valid_ratios == 1).
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from ...ops.msda import MultiScaleDeformableAttention

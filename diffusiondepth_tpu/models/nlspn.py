@@ -22,13 +22,13 @@ NHWC throughout.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.deform_conv import deform_im2col, modulated_deform_conv
+from ..ops.deform_conv import modulated_deform_conv
 from ..registry import MODELS
 from .common import ConvBNAct, DeconvBNAct
 

@@ -10,7 +10,7 @@ conv, zero-initialised so they start as plain convs.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple, Union
+from typing import Any, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

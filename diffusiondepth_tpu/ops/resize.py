@@ -16,7 +16,7 @@ src/model/head/ddim_depth_estimate_res_swin_addHAHI.py:317,332).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

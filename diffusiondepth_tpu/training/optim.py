@@ -15,7 +15,7 @@ Re-implements the reference's ``make_optimizer_scheduler[_split]``
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -15,8 +15,7 @@ equivalent) and the BatchNorm cross-replica statistics reductions.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ checkpoints as a unit.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any
 
 import jax
 import optax

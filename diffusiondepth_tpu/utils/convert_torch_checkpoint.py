@@ -18,7 +18,7 @@ caller starts from a ``.pt`` file (``load_torch_file``).
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
 
