@@ -392,3 +392,14 @@ def swin_tiny(dtype=None):
     return SwinTransformer(
         embed_dims=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24), dtype=dtype
     )
+
+
+@BACKBONES.register(name="swin_micro")
+def swin_micro(dtype=None):
+    """Minimal Swin for CI / the multi-chip dryrun: every layer type of the
+    flagship backbone (patch embed, plain + shifted window MSA, patch merging,
+    per-stage norms) at a size that compiles in seconds on a 1-core CPU host.
+    Pyramid channels (32, 64, 128, 256)."""
+    return SwinTransformer(
+        embed_dims=32, depths=(1, 2, 1, 1), num_heads=(1, 2, 4, 8), dtype=dtype
+    )

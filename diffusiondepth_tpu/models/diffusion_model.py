@@ -39,6 +39,11 @@ class Diffusion_DCbase_Model(nn.Module):
     num_train_timesteps: int = 1000
     timestep_schedule: str = "uniform"
     depth_transform_cfg: Optional[Any] = None
+    # Override the head's pyramid channel spec (each registered head fixes the
+    # channels of its reference backbone, e.g. Swin-L (192,...,1536); this lets
+    # smaller backbones of the same family reuse the head, e.g. swin_tiny in
+    # the multi-chip dryrun).
+    head_in_channels: Optional[Any] = None
     dtype: Optional[Any] = None
 
     def setup(self):
@@ -51,6 +56,8 @@ class Diffusion_DCbase_Model(nn.Module):
         kwargs = {}
         if self.depth_transform_cfg is not None:
             kwargs["depth_transform_cfg"] = self.depth_transform_cfg
+        if self.head_in_channels is not None:
+            kwargs["in_channels"] = tuple(self.head_in_channels)
         self.depth_head = head_cls(
             inference_steps=self.inference_steps,
             num_train_timesteps=self.num_train_timesteps,
@@ -64,9 +71,12 @@ class Diffusion_DCbase_Model(nn.Module):
         sample: Dict[str, jnp.ndarray],
         train: bool = False,
         compute_ddim_loss: Optional[bool] = None,
+        init_latent: Optional[jnp.ndarray] = None,
     ) -> Dict[str, Any]:
         """sample keys (NHWC): rgb (B,H,W,3), dep, gt, depth_map, depth_mask
-        (reference forward contract: diffusion_dcbase_model.py:186-224)."""
+        (reference forward contract: diffusion_dcbase_model.py:186-224).
+        ``init_latent`` optionally fixes the sampler's starting latent
+        (parity tests / seed-controlled eval)."""
         img = sample["rgb"]
         gt = sample.get("gt")
         depth_map = sample.get("depth_map")
@@ -80,6 +90,7 @@ class Diffusion_DCbase_Model(nn.Module):
             gt_depth_map=gt,
             train=train,
             compute_ddim_loss=compute_ddim_loss,
+            init_latent=init_latent,
         )
 
 

@@ -110,8 +110,16 @@ class DDIMDepthEstimateHead(nn.Module):
             x = lat
         return x
 
-    def _sample(self, cond_latent: jnp.ndarray, latent_shape, rng) -> Tuple[jnp.ndarray, Any]:
+    def _sample(
+        self, cond_latent: jnp.ndarray, latent_shape, rng, init_latent=None
+    ) -> Tuple[jnp.ndarray, Any]:
         """Full reverse diffusion as one scan; returns (latent, trajectory|None).
+
+        ``init_latent`` (optional, NHWC f32) replaces the random starting
+        latent - used by the golden-parity tests and the statistical eval
+        protocol, where the latent must be controlled exactly (the reference
+        starts from torch.randn, addHAHI.py:283, which is not reproducible
+        across frameworks).
 
         The latent and all scheduler math stay float32 even under a bfloat16
         compute policy: ``1 - alpha_prod_t`` underflows to 0 in bf16 near t=0
@@ -124,7 +132,11 @@ class DDIMDepthEstimateHead(nn.Module):
             else None
         )
         tables = self.schedule.inference_tables(self.inference_steps, ts)
-        latent0 = jax.random.normal(rng, latent_shape, jnp.float32)
+        latent0 = (
+            jnp.asarray(init_latent, jnp.float32)
+            if init_latent is not None
+            else jax.random.normal(rng, latent_shape, jnp.float32)
+        )
 
         schedule = self.schedule
         vis = self.vis
@@ -184,6 +196,7 @@ class DDIMDepthEstimateHead(nn.Module):
         gt_depth_map: Optional[jnp.ndarray] = None,
         train: bool = False,
         compute_ddim_loss: Optional[bool] = None,
+        init_latent: Optional[jnp.ndarray] = None,
     ) -> Dict[str, Any]:
         if compute_ddim_loss is None:
             compute_ddim_loss = train
@@ -202,8 +215,13 @@ class DDIMDepthEstimateHead(nn.Module):
         latent_shape = (
             gt_map_t.shape[0], gt_map_t.shape[1], gt_map_t.shape[2], self.depth_feature_dim
         )
-        rng = self.make_rng("diffusion")
-        refined_latent, traj = self._sample(cond_latent, latent_shape, rng)
+        rng = (
+            self.make_rng("diffusion") if init_latent is None
+            else jax.random.PRNGKey(0)
+        )
+        refined_latent, traj = self._sample(
+            cond_latent, latent_shape, rng, init_latent=init_latent
+        )
         refined_depth = self.depth_transform.inv_t(refined_latent, train)
 
         ddim_loss = (

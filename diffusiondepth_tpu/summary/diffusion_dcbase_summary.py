@@ -106,9 +106,26 @@ class Diffusion_DCbase_Summary(BaseSummary):
         os.makedirs(self.path_output, exist_ok=True)
 
     def save(self, epoch: int, idx: int, sample: Dict, output: Dict):
-        self.make_dir(epoch, idx)
-        pred = np.clip(np.asarray(output["pred"], np.float32)[0, ..., 0], 0, None)
+        """Write per-sample artifacts for EVERY element of the batch.
 
+        ``idx`` is the dataset index of the batch's FIRST sample; sample ``b``
+        of the batch is written as dataset index ``idx + b``. The reference
+        evaluated at batch size 1, so its per-batch index was the dataset
+        index (src/main.py:408-411, summary :166-186); this generalisation
+        keeps filenames identical at bs=1 and loses no samples at the batched
+        eval sizes this framework adds (``--test_batch_size``)."""
+        preds = np.clip(np.asarray(output["pred"], np.float32)[..., 0], 0, None)
+        for b in range(preds.shape[0]):
+            self._save_one(
+                epoch,
+                idx + b,
+                {k: np.asarray(v)[b] for k, v in sample.items()
+                 if hasattr(v, "ndim") and getattr(v, "ndim", 0) >= 1},
+                preds[b],
+            )
+
+    def _save_one(self, epoch: int, idx: int, sample: Dict, pred: np.ndarray):
+        self.make_dir(epoch, idx)
         if self.args.save_result_only:
             # KITTI submission format (reference :176-186)
             path = os.path.join(self.path_output, f"{idx:010d}.png")
@@ -117,10 +134,10 @@ class Diffusion_DCbase_Summary(BaseSummary):
                 np.save(os.path.join(self.path_output, f"{idx:010d}.npy"), pred)
             return
 
-        rgb = np.asarray(sample["rgb"], np.float32)[0]
+        rgb = np.asarray(sample["rgb"], np.float32)
         rgb = np.clip(rgb * IMAGENET_STD + IMAGENET_MEAN, 0.0, 1.0)
-        dep = np.asarray(sample["dep"], np.float32)[0, ..., 0]
-        gt = np.asarray(sample["gt"], np.float32)[0, ..., 0]
+        dep = np.asarray(sample["dep"], np.float32)[..., 0]
+        gt = np.asarray(sample["gt"], np.float32)[..., 0]
 
         Image.fromarray((rgb * 255).astype(np.uint8)).save(
             os.path.join(self.path_output, "01_rgb.png")
