@@ -29,6 +29,13 @@ BACKBONE_NAME_CHOICES = (
     "swin_large_naive_swinlargepreatrain_add",
     "mpvit_small",
     "swin_tiny",  # TPU extra: fast-eval config (BASELINE.json config #2)
+    "swin_micro",  # TPU extra: CI / multi-chip dryrun size
+    # TPU extras: the other registered MPViT variants (the reference ships
+    # their constructors, mpvit.py:743-870, but only lists mpvit_small in
+    # the CLI choices, config.py:121-126)
+    "mpvit_tiny",
+    "mpvit_xsmall",
+    "mpvit_base",
 )
 HEAD_CHOICES = (
     "DDIMDepthEstimate_Res",
@@ -123,6 +130,9 @@ class Config:
     dtype: Optional[str] = None  # compute dtype override: float32|bfloat16
     mesh_shape: Optional[str] = None  # e.g. "data:8" or "data:4,model:2"
     test_batch_size: int = 1  # reference forces bs 1 at test (README.md:249)
+    # gradient accumulation: micro-batches per optimizer step, so the
+    # reference's global batch 8 (8 GPUs x DDP) trains on fewer chips
+    accum_steps: int = 1
     tta_flip: bool = False  # flip-ensemble TTA (leaderboard protocol)
     prefetch: int = 2  # device prefetch depth in the input pipeline
     use_pallas: bool = True  # enable Pallas kernels where available
@@ -251,6 +261,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", type=str, default=None, choices=("float32", "bfloat16"))
     p.add_argument("--mesh_shape", type=str, default=None)
     p.add_argument("--test_batch_size", type=int, default=d.test_batch_size)
+    p.add_argument("--accum_steps", type=int, default=d.accum_steps)
     p.add_argument("--prefetch", type=int, default=d.prefetch)
     p.add_argument("--log_every", type=int, default=d.log_every)
     p.add_argument("--profile_dir", type=str, default=None)

@@ -290,16 +290,23 @@ class MPViT(nn.Module):
     embed_dims: Sequence[int] = (64, 128, 256, 512)
     num_heads: Sequence[int] = (8, 8, 8, 8)
     drop_path_rate: float = 0.0
+    # Reference trains MPViT with every BatchNorm FROZEN (train() override
+    # forcing _BatchNorm.eval(), mpvit.py:732-740, default norm_eval=True):
+    # running statistics are used for normalisation and never updated, even
+    # under train=True. DropPath stays training-active.
+    norm_eval: bool = True
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         dims = self.embed_dims
+        # BN train flag: frozen when norm_eval (see field docstring)
+        bn_train = train and not self.norm_eval
         # stem at stride 1 (dense-prediction quirk, reference :628-647)
         x = ConvBN(dims[0] // 2, 3, 1, 1, act=True, dtype=self.dtype,
-                   name="stem0")(x, train)
+                   name="stem0")(x, bn_train)
         x = ConvBN(dims[0], 3, 1, 1, act=True, dtype=self.dtype,
-                   name="stem1")(x, train)
+                   name="stem1")(x, bn_train)
 
         dpr_all = np.linspace(0, self.drop_path_rate, sum(self.num_layers)).tolist()
 
@@ -317,14 +324,14 @@ class MPViT(nn.Module):
                 x = DWCPatchEmbed(
                     dims[s], stride=2 if p == 0 else 1, dtype=self.dtype,
                     name=f"stage{s}_patch_embed{p}",
-                )(x, train)
+                )(x, bn_train)
                 att_inputs.append(x)
 
             # parallel paths + conv path, aggregated by 1x1 conv
             # (reference MHCA_stage.forward :572-583)
             path_outs = [
                 ResBlock(dims[s], dtype=self.dtype, name=f"stage{s}_invres")(
-                    att_inputs[0], train
+                    att_inputs[0], bn_train
                 )
             ]
             for p, inp in enumerate(att_inputs):
@@ -341,7 +348,7 @@ class MPViT(nn.Module):
                 )
             x = ConvBN(out_dim, 1, act=True, dtype=self.dtype,
                        name=f"stage{s}_aggregate")(
-                jnp.concatenate(path_outs, axis=-1), train
+                jnp.concatenate(path_outs, axis=-1), bn_train
             )
             outs.append(x)
         return outs

@@ -255,7 +255,9 @@ class NLSPNModel(nn.Module):
         fd2 = t(64, "dec2")(concat(fd3, fe3), train)
 
         id_fd1 = c(64, 3, 1, 1, name="id_dec1")(concat(fd2, fe2), train)
-        pred_init = c(1, 3, 1, 1, bn=False, act="relu", name="id_dec0")(
+        # conv_bn_relu(relu=True) is LeakyReLU(0.2), not ReLU
+        # (reference common.py:55-56, nlspnmodel.py:264-265)
+        pred_init = c(1, 3, 1, 1, bn=False, act="leaky_relu", name="id_dec0")(
             concat(id_fd1, fe1), train)
 
         gd_fd1 = c(64, 3, 1, 1, name="gd_dec1")(concat(fd2, fe2), train)

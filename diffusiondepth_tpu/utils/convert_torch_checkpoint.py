@@ -330,6 +330,201 @@ def convert_resnet_mmbev(sd: Dict[str, np.ndarray], prefix: str = "") -> Tuple[D
     return params, stats
 
 
+# --------------------------------------------------------------------- MPViT
+
+
+def _mpvit_convbn(sd, key, params, stats, path):
+    """reference Conv2d_BN (mpvit.py:85-122: conv bias=False + bn) -> our
+    ConvBN layout {conv: kernel, bn: BatchNorm_0}."""
+    params[path] = {"conv": {"kernel": conv_kernel(sd[key + ".conv.weight"])}}
+    p, s = bn_params(sd, key + ".bn")
+    params[path]["bn"] = {"BatchNorm_0": p}
+    stats[path] = {"bn": {"BatchNorm_0": s}}
+
+
+def convert_mpvit(sd: Dict[str, np.ndarray], prefix: str = "") -> Tuple[Dict, Dict]:
+    """Reference MPViT weights -> flax params/batch_stats for
+    models.backbones.mpvit.MPViT.
+
+    Handles both the timm-format ImageNet pretrains the reference loads
+    (mpvit.py:700-705: ``torch.load(...)['model']``, load_state_dict
+    strict=False - classification-head keys are skipped) and the
+    ``depth_backbone.``-prefixed full-model checkpoints. Stage / path /
+    layer counts are inferred from the keys, so every variant
+    (tiny/xsmall/small/base) converts with one call.
+    """
+    sd = {k[len(prefix):]: np.asarray(v) for k, v in sd.items()
+          if k.startswith(prefix)}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    _mpvit_convbn(sd, "stem.0", params, stats, "stem0")
+    _mpvit_convbn(sd, "stem.1", params, stats, "stem1")
+
+    def _max_idx(pattern):
+        out: Dict[int, int] = {}
+        for k in sd:
+            m = re.match(pattern, k)
+            if m:
+                s, i = int(m.group(1)), int(m.group(2))
+                out[s] = max(out.get(s, 0), i + 1)
+        return out
+
+    n_path = _max_idx(r"patch_embed_stages\.(\d+)\.patch_embeds\.(\d+)\.")
+    n_layer = _max_idx(r"mhca_stages\.(\d+)\.mhca_blks\.\d+\.MHCA_layers\.(\d+)\.")
+    n_crpe = _max_idx(r"mhca_stages\.(\d+)\.mhca_blks\.\d+\.crpe\.conv_list\.(\d+)\.")
+
+    for s in sorted(n_path):
+        for p in range(n_path[s]):
+            src = f"patch_embed_stages.{s}.patch_embeds.{p}.patch_conv"
+            name = f"stage{s}_patch_embed{p}"
+            params[name] = {
+                "dwconv": {"kernel": conv_kernel(sd[src + ".dwconv.weight"])},
+                "pwconv": {"kernel": conv_kernel(sd[src + ".pwconv.weight"])},
+            }
+            bp, bs = bn_params(sd, src + ".bn")
+            params[name]["bn"] = {"BatchNorm_0": bp}
+            stats[name] = {"bn": {"BatchNorm_0": bs}}
+
+        # inverted-residual conv path (reference ResBlock :482-532)
+        inv = f"mhca_stages.{s}.InvRes"
+        ip: Dict[str, Any] = {}
+        isdict: Dict[str, Any] = {}
+        _mpvit_convbn(sd, inv + ".conv1", ip, isdict, "conv1")
+        _mpvit_convbn(sd, inv + ".conv2", ip, isdict, "conv2")
+        ip["dwconv"] = {"kernel": conv_kernel(sd[inv + ".dwconv.weight"])}
+        np_, ns_ = bn_params(sd, inv + ".norm")
+        ip["norm"] = {"BatchNorm_0": np_}
+        isdict["norm"] = {"BatchNorm_0": ns_}
+        params[f"stage{s}_invres"] = ip
+        stats[f"stage{s}_invres"] = isdict
+
+        # per-path transformer encoders (reference MHCAEncoder :439-479)
+        for p in range(n_path[s]):
+            enc = f"mhca_stages.{s}.mhca_blks.{p}"
+            ep: Dict[str, Any] = {
+                "cpe": {"proj": {
+                    "kernel": conv_kernel(sd[enc + ".cpe.proj.weight"]),
+                    "bias": sd[enc + ".cpe.proj.bias"],
+                }},
+                "crpe": {
+                    f"conv_{i}": {
+                        "kernel": conv_kernel(
+                            sd[f"{enc}.crpe.conv_list.{i}.weight"]),
+                        "bias": sd[f"{enc}.crpe.conv_list.{i}.bias"],
+                    }
+                    for i in range(n_crpe.get(s, 3))
+                },
+            }
+            for l in range(n_layer.get(s, 1)):
+                blk = f"{enc}.MHCA_layers.{l}"
+                ep[f"block{l}"] = {
+                    "norm1": ln_params(sd, blk + ".norm1"),
+                    "norm2": ln_params(sd, blk + ".norm2"),
+                    "factoratt_crpe": {
+                        "qkv": {
+                            "kernel": dense_kernel(
+                                sd[blk + ".factoratt_crpe.qkv.weight"]),
+                            "bias": sd[blk + ".factoratt_crpe.qkv.bias"],
+                        },
+                        "proj": {
+                            "kernel": dense_kernel(
+                                sd[blk + ".factoratt_crpe.proj.weight"]),
+                            "bias": sd[blk + ".factoratt_crpe.proj.bias"],
+                        },
+                    },
+                    "mlp_fc1": {
+                        "kernel": dense_kernel(sd[blk + ".mlp.fc1.weight"]),
+                        "bias": sd[blk + ".mlp.fc1.bias"],
+                    },
+                    "mlp_fc2": {
+                        "kernel": dense_kernel(sd[blk + ".mlp.fc2.weight"]),
+                        "bias": sd[blk + ".mlp.fc2.bias"],
+                    },
+                }
+            params[f"stage{s}_mhca{p}"] = ep
+
+        _mpvit_convbn(sd, f"mhca_stages.{s}.aggregate",
+                      params, stats, f"stage{s}_aggregate")
+    return params, stats
+
+
+# --------------------------------------------------------------------- NLSPN
+
+
+def convert_nlspn(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
+    """Reference NLSPNModel checkpoint (nlspnmodel.py:210-366) -> flax
+    params/batch_stats for models.nlspn.NLSPNModel.
+
+    Layer families: conv_bn_relu Sequentials (``.0``=conv, ``.1``=bn),
+    convt_bn_relu decoders, torchvision BasicBlock encoder stages
+    (``conv{2..5}.{j}.conv1/bn1/conv2/bn2[/downsample.0/.1]``), the
+    propagation's offset/affinity conv and the TGASS scale scalar.
+    """
+    sd = {k[7:] if k.startswith("module.") else k: np.asarray(v)
+          for k, v in sd.items()}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    # conv_bn_relu heads/stems (bias only when bn off, common.py:45-60)
+    for name, has_bn in (
+        ("conv1_rgb", False), ("conv1_dep", False), ("conv6", True),
+        ("id_dec1", True), ("id_dec0", False),
+        ("gd_dec1", True), ("gd_dec0", False),
+        ("cf_dec1", True), ("cf_dec0", False),
+    ):
+        if name + ".0.weight" not in sd:
+            continue
+        _conv_bn(sd, name + ".0", name + ".1" if has_bn else None,
+                 params, stats, name)
+
+    # decoders (convt_bn_relu: deconv bias=False + bn, common.py:63-82)
+    for name in ("dec5", "dec4", "dec3", "dec2"):
+        _conv_bn(sd, name + ".0", name + ".1", params, stats, name,
+                 deconv=True)
+
+    # torchvision resnet encoder stages -> ResNetStage/TorchBasicBlock
+    for stage in ("conv2", "conv3", "conv4", "conv5"):
+        blocks = sorted({
+            int(m.group(1)) for k in sd
+            if (m := re.match(rf"{stage}\.(\d+)\.", k))
+        })
+        sp: Dict[str, Any] = {}
+        ss: Dict[str, Any] = {}
+        for j in blocks:
+            src = f"{stage}.{j}"
+            bp: Dict[str, Any] = {}
+            bs_: Dict[str, Any] = {}
+            for ci, (ck, bk) in enumerate((("conv1", "bn1"), ("conv2", "bn2"))):
+                bp[f"Conv_{ci}"] = {
+                    "kernel": conv_kernel(sd[f"{src}.{ck}.weight"])}
+                p_, s_ = bn_params(sd, f"{src}.{bk}")
+                bp[f"BatchNorm_{ci}"] = {"BatchNorm_0": p_}
+                bs_[f"BatchNorm_{ci}"] = {"BatchNorm_0": s_}
+            if f"{src}.downsample.0.weight" in sd:
+                bp["downsample_conv"] = {
+                    "kernel": conv_kernel(sd[f"{src}.downsample.0.weight"])}
+                p_, s_ = bn_params(sd, f"{src}.downsample.1")
+                bp["downsample_bn"] = {"BatchNorm_0": p_}
+                bs_["downsample_bn"] = {"BatchNorm_0": s_}
+            sp[f"block{j}"] = bp
+            ss[f"block{j}"] = bs_
+        params[stage] = sp
+        stats[stage] = ss
+
+    # propagation layer (reference NLSPN :55-64)
+    params["prop_layer"] = {
+        "conv_offset_aff": {
+            "kernel": conv_kernel(sd["prop_layer.conv_offset_aff.weight"]),
+            "bias": sd["prop_layer.conv_offset_aff.bias"],
+        },
+    }
+    if "prop_layer.aff_scale_const" in sd:
+        params["prop_layer"]["aff_scale_const"] = sd[
+            "prop_layer.aff_scale_const"]
+    return params, stats
+
+
 def convert_reference_model(
     sd: Dict[str, np.ndarray],
     swin_depths: Tuple[int, ...] = (2, 2, 18, 2),
@@ -347,6 +542,12 @@ def convert_reference_model(
     """
     sd = {k[7:] if k.startswith("module.") else k: np.asarray(v)
           for k, v in sd.items()}
+
+    # NLSPN checkpoints have no depth_backbone/depth_head split
+    # (nlspnmodel.py:210-366) - dispatch on their encoder stem
+    if any(k.startswith("conv1_rgb.") for k in sd):
+        return convert_nlspn(sd)
+
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
 
@@ -354,6 +555,10 @@ def convert_reference_model(
     if any(k.startswith("depth_backbone.stages.") for k in sd):
         params["depth_backbone"] = convert_swin_mmcv(
             sd, depths=swin_depths, prefix="depth_backbone.")
+    elif any(k.startswith("depth_backbone.stem.") for k in sd):
+        p, s = convert_mpvit(sd, prefix="depth_backbone.")
+        params["depth_backbone"] = p
+        stats["depth_backbone"] = s
     elif any(k.startswith("depth_backbone.layers.") for k in sd):
         p, s = convert_resnet_mmbev(sd, prefix="depth_backbone.")
         params["depth_backbone"] = p
