@@ -100,6 +100,7 @@ def train(args: Config):
     data_cls = get_data(cfg)
     ds_train = data_cls(cfg, "train")
     ds_val = data_cls(cfg, "val")
+    ds_test = data_cls(cfg, "test")
 
     loader_train = DataLoader(
         ds_train, cfg.batch_size, shuffle=True, drop_last=True,
@@ -108,6 +109,10 @@ def train(args: Config):
     )
     loader_val = DataLoader(
         ds_val, cfg.test_batch_size, shuffle=False, num_threads=2, seed=cfg.seed,
+        **hosts,
+    )
+    loader_test = DataLoader(
+        ds_test, cfg.test_batch_size, shuffle=False, num_threads=2, seed=cfg.seed,
         **hosts,
     )
 
@@ -120,12 +125,23 @@ def train(args: Config):
         state = restore_state(state, ckpt)
         print(f"loaded checkpoint {cfg.pretrain} (epoch {ckpt.get('epoch', '?')})")
 
+    if cfg.accum_steps > 1 and cfg.batch_size % cfg.accum_steps:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} not divisible by accum_steps "
+            f"{cfg.accum_steps}"
+        )
     loss_computer = LossComputer(cfg)
-    train_step = make_train_step(model, loss_computer, mesh=mesh)
-    eval_step = make_eval_step(model, mesh=mesh)
+    train_step = make_train_step(
+        model, loss_computer, mesh=mesh, accum_steps=cfg.accum_steps
+    )
+    summary_cls = get_summary(cfg)
+    eval_step = make_eval_step(
+        model, mesh=mesh, extra_keys=getattr(summary_cls, "SAVE_KEYS", ())
+    )
 
-    writer_train = get_summary(cfg)(cfg.save_dir, "train", cfg)
-    writer_val = get_summary(cfg)(cfg.save_dir, "val", cfg)
+    writer_train = summary_cls(cfg.save_dir, "train", cfg)
+    writer_val = summary_cls(cfg.save_dir, "val", cfg)
+    writer_test = summary_cls(cfg.save_dir, "test", cfg)
 
     start_epoch = 1
     if cfg.resume and cfg.pretrain:
@@ -161,12 +177,28 @@ def train(args: Config):
 
         # ---- val ----
         rng_eval = jax.random.PRNGKey(cfg.seed + epoch)
+        last = None
         for i, batch in enumerate(loader_val):
             rng_eval, e_rng = jax.random.split(rng_eval)
             dbatch = _device_batch(batch, mesh)
-            pred, metric_val = eval_step(state, dbatch, e_rng)
+            pred, metric_val, extras = eval_step(state, dbatch, e_rng)
             writer_val.add(metric=np.asarray(metric_val))
-        writer_val.update(epoch, None, None)
+            last = (batch, {"pred": np.asarray(pred),
+                            **{k: np.asarray(v) for k, v in extras.items()}})
+        writer_val.update(epoch, *(last or (None, None)))
+
+        # ---- inline test (reference runs train -> val -> test every epoch,
+        # src/main.py:343-395; its epoch-wise metric_test.txt trace -
+        # experiments/swinkitti/test.txt - is the primary empirical record)
+        last = None
+        for i, batch in enumerate(loader_test):
+            rng_eval, e_rng = jax.random.split(rng_eval)
+            dbatch = _device_batch(batch, mesh)
+            pred, metric_val, extras = eval_step(state, dbatch, e_rng)
+            writer_test.add(metric=np.asarray(metric_val))
+            last = (batch, {"pred": np.asarray(pred),
+                            **{k: np.asarray(v) for k, v in extras.items()}})
+        writer_test.update(epoch, *(last or (None, None)))
 
     return state
 
@@ -191,23 +223,35 @@ def test(args: Config):
         state = restore_state(state, ckpt)
         print(f"loaded checkpoint {cfg.pretrain}")
 
-    eval_step = make_eval_step(model, mesh=mesh, tta_flip=cfg.tta_flip)
-    writer = get_summary(cfg)(cfg.save_dir, "test", cfg)
+    summary_cls = get_summary(cfg)
+    eval_step = make_eval_step(
+        model, mesh=mesh, tta_flip=cfg.tta_flip,
+        extra_keys=getattr(summary_cls, "SAVE_KEYS", ()),
+    )
+    writer = summary_cls(cfg.save_dir, "test", cfg)
 
-    t_total, n = 0.0, 0
+    t_total, n, n_seen = 0.0, 0, 0
     for i, batch in enumerate(loader):
         rng, e_rng = jax.random.split(rng)
         dbatch = _device_batch(batch, mesh)
+        bsz = batch["rgb"].shape[0]
         t0 = time.time()
-        pred, metric_val = eval_step(state, dbatch, e_rng)
+        pred, metric_val, extras = eval_step(state, dbatch, e_rng)
         pred = jax.block_until_ready(pred)
         t1 = time.time()
-        if i > 0:  # skip compile
+        # timed region excludes compiles: batch 0 AND any ragged final batch
+        # (a new batch shape retraces; the reference's i>0 skip was not enough
+        # when len(split) % test_batch_size != 0)
+        if i > 0 and bsz == cfg.test_batch_size:
             t_total += t1 - t0
-            n += batch["rgb"].shape[0]
+            n += bsz
         writer.add(metric=np.asarray(metric_val))
         if cfg.save_image:
-            writer.save(0, i, batch, {"pred": np.asarray(pred)})
+            # save() wants the dataset index of the batch's first sample
+            writer.save(0, n_seen, batch,
+                        {"pred": np.asarray(pred),
+                         **{k: np.asarray(v) for k, v in extras.items()}})
+        n_seen += bsz
     writer.update(0, None, None)
     if n:
         print(f"elapsed time : {t_total:.4f} sec, "

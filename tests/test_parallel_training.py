@@ -97,6 +97,85 @@ def test_data_parallel_train_step_runs_and_matches_single_device():
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=3e-4)
 
 
+def test_gradient_accumulation_matches_manual_micro_batches():
+    """accum_steps=2 must equal: forward/backward each half sequentially
+    (threading BatchNorm batch_stats), sum the gradients, divide by the
+    GLOBAL batch size, one optimizer update - the semantics that let the
+    reference's global bs 8 (README.md:212-215) train on one chip."""
+    cfg = _cfg(accum_steps=2)
+    model = build_model(cfg)
+    lc = LossComputer(cfg)
+    batch = _batch(b=8)
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    state = create_train_state(model, tx, batch, jax.random.PRNGKey(0))
+
+    step = make_train_step(model, lc, donate=False, accum_steps=2)
+    rng = jax.random.PRNGKey(1)
+    s_acc, loss_acc, lv_acc, mv_acc = step(state, batch, rng)
+
+    # manual reference computation
+    halves = [
+        {k: v[:4] for k, v in batch.items()},
+        {k: v[4:] for k, v in batch.items()},
+    ]
+    rngs = jax.random.split(rng, 2)
+
+    def loss_fn(params, bs, mb, r):
+        diff_rng, drop_rng = jax.random.split(r)
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": bs}, mb, train=True,
+            rngs={"diffusion": diff_rng, "dropout": drop_rng},
+            mutable=["batch_stats"],
+        )
+        loss_sum, _ = lc(mb, out)
+        return loss_sum, mutated["batch_stats"]
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+    bs = state.batch_stats
+    grads, total = None, 0.0
+    for mb, r in zip(halves, rngs):
+        (l, bs), g = grad_fn(state.params, bs, mb, r)
+        total += float(l)
+        grads = g if grads is None else jax.tree_util.tree_map(jnp.add, grads, g)
+    grads = jax.tree_util.tree_map(lambda g: g / 8.0, grads)
+    s_ref = state.apply_gradients(grads, new_batch_stats=bs)
+
+    np.testing.assert_allclose(float(loss_acc), total / 8.0, rtol=1e-5)
+    # atol: scan-vs-sequential float reassociation amplified through adam's
+    # rsqrt (same rationale as the DP-equality test above)
+    for p1, p2 in zip(
+        jax.tree_util.tree_leaves(s_acc.params),
+        jax.tree_util.tree_leaves(s_ref.params),
+    ):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-4)
+    for b1, b2 in zip(
+        jax.tree_util.tree_leaves(s_acc.batch_stats),
+        jax.tree_util.tree_leaves(s_ref.batch_stats),
+    ):
+        np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), rtol=1e-5,
+                                   atol=1e-6)
+    assert np.isfinite(np.asarray(mv_acc)).all()
+
+
+def test_gradient_accumulation_sharded():
+    """accum under the 8-device data-parallel mesh: each micro-batch still
+    shards over 'data'; loss matches the unsharded accumulation."""
+    cfg = _cfg(accum_steps=2)
+    model = build_model(cfg)
+    lc = LossComputer(cfg)
+    batch = _batch(b=8)
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    state = create_train_state(model, tx, batch, jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(1)
+
+    step1 = make_train_step(model, lc, donate=False, accum_steps=2)
+    _, loss1, _, _ = step1(state, batch, rng)
+    mesh = create_mesh()
+    step8 = make_train_step(model, lc, mesh=mesh, donate=False, accum_steps=2)
+    _, loss8, _, _ = step8(state, shard_batch(batch, mesh), rng)
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=2e-4)
+
+
 def test_eval_step_sharded():
     cfg = _cfg()
     model = build_model(cfg)
@@ -105,7 +184,7 @@ def test_eval_step_sharded():
     state = create_train_state(model, tx, batch, jax.random.PRNGKey(0))
     mesh = create_mesh()
     eval_step = make_eval_step(model, mesh=mesh)
-    pred, metrics = eval_step(state, shard_batch(batch, mesh), jax.random.PRNGKey(2))
+    pred, metrics, _ = eval_step(state, shard_batch(batch, mesh), jax.random.PRNGKey(2))
     assert pred.shape == batch["gt"].shape
     assert np.isfinite(np.asarray(metrics)).all()
 

@@ -88,6 +88,21 @@ def test_metric_log_has_8_metrics(trained):
         assert f"{name}:" in lines[0]
 
 
+def test_inline_test_loop_writes_epoch_trace(trained):
+    """train() runs train -> val -> test each epoch (reference
+    src/main.py:343-395); metric_test.txt is the epoch-wise convergence trace
+    the reference publishes as experiments/swinkitti/test.txt."""
+    cfg, state, save_dir = trained
+    lines = open(os.path.join(save_dir, "metric_test.txt")).read().splitlines()
+    assert len(lines) == 2  # one line per epoch
+    for name in METRIC_NAMES:
+        assert f"{name}:" in lines[0]
+    # per-epoch panel images for val and test
+    for mode in ("val", "test"):
+        pngs = glob.glob(os.path.join(save_dir, mode, "images", "*.png"))
+        assert len(pngs) == 2, (mode, pngs)
+
+
 def test_args_json_snapshot(trained):
     cfg, state, save_dir = trained
     with open(os.path.join(save_dir, "args.json")) as f:
@@ -113,11 +128,14 @@ def test_test_entry_resumes_checkpoint(trained, tmp_path):
         os.path.join(test_cfg.save_dir, "metric_test.txt")
     ).read().splitlines()
     assert len(metric_lines) == 1
-    # KITTI-submission uint16 PNG dumps
-    pngs = glob.glob(
+    # KITTI-submission uint16 PNG dumps: EVERY sample of every batch, named
+    # by dataset index (16 samples at test_batch_size 8 -> 16 files)
+    pngs = sorted(glob.glob(
         os.path.join(test_cfg.save_dir, "test", "epoch0000", "*.png")
-    )
-    assert len(pngs) == 2  # 16 samples / bs 8 -> 2 save() calls
+    ))
+    assert [os.path.basename(p) for p in pngs] == [
+        f"{i:010d}.png" for i in range(16)
+    ]
     from PIL import Image
 
     arr = np.array(Image.open(pngs[0]))

@@ -47,8 +47,8 @@ def test_tta_eval_runs_and_averages():
     plain = make_eval_step(model)
     tta = make_eval_step(model, tta_flip=True)
     rng = jax.random.PRNGKey(1)
-    pred_p, m_p = plain(state, batch, rng)
-    pred_t, m_t = tta(state, batch, rng)
+    pred_p, m_p, _ = plain(state, batch, rng)
+    pred_t, m_t, _ = tta(state, batch, rng)
     assert pred_t.shape == pred_p.shape
     assert np.all(np.isfinite(np.asarray(pred_t)))
     assert np.all(np.isfinite(np.asarray(m_t)))
