@@ -32,6 +32,17 @@ IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
+def _slice_sample(arr: np.ndarray, b: int, batch: int) -> np.ndarray:
+    """Pick sample ``b`` from an output tensor: batch-leading ``(B, ...)``
+    entries slice on axis 0, scan-stacked ``(T, B, ...)`` entries (NLSPN
+    pred_inter) on axis 1, batch-free entries (gamma ``(1,)``) pass through."""
+    if arr.ndim >= 1 and arr.shape[0] == batch:
+        return arr[b]
+    if arr.ndim >= 2 and arr.shape[1] == batch:
+        return arr[:, b]
+    return arr
+
+
 class Diffusion_DCbase_Summary(BaseSummary):
     def __init__(self, log_dir: str, mode: str, args,
                  loss_name=None, metric_name=None):
@@ -113,18 +124,27 @@ class Diffusion_DCbase_Summary(BaseSummary):
         evaluated at batch size 1, so its per-batch index was the dataset
         index (src/main.py:408-411, summary :166-186); this generalisation
         keeps filenames identical at bs=1 and loses no samples at the batched
-        eval sizes this framework adds (``--test_batch_size``)."""
+        eval sizes this framework adds (``--test_batch_size``).
+
+        Output-dict entries beyond ``pred`` (e.g. NLSPN's propagation
+        internals) are sliced per sample and forwarded to ``_save_one``."""
         preds = np.clip(np.asarray(output["pred"], np.float32)[..., 0], 0, None)
-        for b in range(preds.shape[0]):
+        n = preds.shape[0]
+        extras_all = {k: np.asarray(v) for k, v in output.items()
+                      if k != "pred" and v is not None}
+        for b in range(n):
+            extras = {k: _slice_sample(v, b, n) for k, v in extras_all.items()}
             self._save_one(
                 epoch,
                 idx + b,
                 {k: np.asarray(v)[b] for k, v in sample.items()
                  if hasattr(v, "ndim") and getattr(v, "ndim", 0) >= 1},
                 preds[b],
+                extras or None,
             )
 
-    def _save_one(self, epoch: int, idx: int, sample: Dict, pred: np.ndarray):
+    def _save_one(self, epoch: int, idx: int, sample: Dict, pred: np.ndarray,
+                  extras=None):
         self.make_dir(epoch, idx)
         if self.args.save_result_only:
             # KITTI submission format (reference :176-186)

@@ -123,9 +123,35 @@ def generate_kitti_json(
     return out
 
 
+def generate_kitti_test_json(path_root: str) -> Dict[str, List[Dict]]:
+    """KITTI online-submission ("anonymous") split json (reference
+    generate_json_KITTI_DP.py:176-225, the ``--test_data`` mode): one
+    test-only split over ``depth_selection/test_depth_prediction_anonymous``
+    images + per-image intrinsics. The depth/gt fields point at the
+    reference's dummy placeholder (a velodyne frame of the completion set,
+    :190) - the prediction server provides no sparse depth or ground truth."""
+    sel = "depth_selection/test_depth_prediction_anonymous"
+    dummy = ("depth_selection/test_depth_completion_anonymous/"
+             "velodyne_raw/0000000000.png")
+    img_dir = os.path.join(path_root, sel, "image")
+    pairs = []
+    for name in sorted(os.listdir(img_dir)) if os.path.isdir(img_dir) else []:
+        sample = {
+            "rgb": f"{sel}/image/{name}",
+            "depth": dummy,
+            "gt": dummy,
+            "K": f"{sel}/intrinsics/{name[:-4]}.txt",
+        }
+        if all(_exists(path_root, v) for v in sample.values()):
+            pairs.append(sample)
+    return {"test": pairs}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="split-json generator")
     p.add_argument("dataset", choices=("nyu", "kitti"))
+    p.add_argument("--test_data", action="store_true",
+                   help="KITTI online-submission (anonymous) test split")
     p.add_argument("--path_root", type=str, required=True)
     p.add_argument("--path_out", type=str, default="../data_json")
     p.add_argument("--name_out", type=str, default=None)
@@ -144,6 +170,9 @@ def main(argv=None):
             args.num_train, args.num_val, args.num_test, args.seed,
         )
         name = args.name_out or "nyu.json"
+    elif args.test_data:
+        data = generate_kitti_test_json(args.path_root)
+        name = args.name_out or "kitti_dp_test.json"
     else:
         data = generate_kitti_json(
             args.path_root, args.num_train, args.num_val, args.num_test, args.seed
@@ -155,7 +184,8 @@ def main(argv=None):
     with open(out_path, "w") as f:
         json.dump(data, f, indent=4)
     for split in ("train", "val", "test"):
-        print(f"{split} split : Total {len(data[split])} samples")
+        if split in data:
+            print(f"{split} split : Total {len(data[split])} samples")
     print(f"wrote {out_path}")
 
 

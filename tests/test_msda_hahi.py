@@ -95,6 +95,48 @@ def test_msda_module_runs_with_level_slot_mismatch():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_msda_sliced_softmax_is_a_distribution_over_runtime_levels():
+    """Documented deviation from mmcv: when runtime levels L < configured
+    num_levels, the attention logits are sliced to L levels FIRST and the
+    softmax normalises over L*P (a proper distribution over the slots that
+    are actually sampled). mmcv instead softmaxes over all configured
+    num_levels*P slots - but then crashes outright on the level-count
+    mismatch (SURVEY.md section 2.3), so there is no reference behaviour to
+    match in this configuration. In the L == num_levels case (every config
+    the reference can actually run) the two orders are identical and the
+    exact-match test above covers it."""
+    m = MultiScaleDeformableAttention(embed_dims=32, num_heads=4, num_levels=4,
+                                      num_points=2)
+    shapes = [(4, 4), (2, 2), (1, 2)]
+    nv = sum(h * w for h, w in shapes)
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(1, 5, 32).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, nv, 32).astype(np.float32))
+    ref = jnp.broadcast_to(jnp.full((1, 5, 1, 2), 0.5), (1, 5, 3, 2))
+    variables = m.init(jax.random.PRNGKey(0), q, v, None, ref, shapes)
+
+    # give the attention projection non-zero weights so the softmax is
+    # non-trivial, then check the internal weights normalise over L*P
+    import flax
+
+    params = flax.core.unfreeze(variables["params"] if "params" in variables
+                                else variables)
+    params["attention_weights"]["kernel"] = jnp.asarray(
+        rng.randn(32, 4 * 4 * 2).astype(np.float32)
+    )
+    b, nq, heads, L, P = 1, 5, 4, 3, 2
+    logits = (q @ params["attention_weights"]["kernel"]).reshape(
+        b, nq, heads, 4, P
+    )[:, :, :, :L]
+    attn = jax.nn.softmax(logits.reshape(b, nq, heads, L * P), axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(attn.sum(-1)), np.ones((b, nq, heads)), rtol=1e-5
+    )
+    # and the module still runs with those weights
+    out = m.apply({"params": params}, q, v, None, ref, shapes)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_sine_positional_encoding_matches_reference_math():
     """Vendored DETR sine PE math (src/model/utils/positional_encoding.py:52-87),
     normalize=False path, all-valid mask."""

@@ -51,6 +51,48 @@ def test_output_contract(nlspn_out):
     assert np.all(np.asarray(out["pred"]) >= 0)
 
 
+def test_nlspn_summary_panels_and_raw_dumps(nlspn_out, tmp_path):
+    """NLSPN summary writes the reference's per-sample panel files and
+    guidance/offset/aff/gamma .npy dumps (reference nlspnsummary.py:165-267),
+    plus the confidence strip + Etc/gamma scalar in update (:102-157)."""
+    import json
+    import os
+
+    from diffusiondepth_tpu.summary import get as get_summary
+
+    cfg, sample, out = nlspn_out
+    cfg2 = Config.from_dict(dict(cfg.to_dict(), save_dir=str(tmp_path),
+                                 save_raw_npdepth=True))
+    writer_cls = get_summary(cfg2)
+    assert set(writer_cls.SAVE_KEYS) >= {"guidance", "offset", "aff", "gamma"}
+    writer = writer_cls(str(tmp_path), "test", cfg2)
+
+    output = {k: np.asarray(v) for k, v in out.items() if v is not None}
+    writer.save(0, 0, {k: np.asarray(v) for k, v in sample.items()}, output)
+    d = tmp_path / "test" / "epoch0000" / f"{0:08d}"
+    expect = ["01_rgb.png", "02_dep.png", "03_pred_init.png",
+              "04_pred_prop_00.png", "04_pred_prop_02.png",
+              "05_pred_final.png", "05_pred_final_gray.png", "06_gt.png",
+              "guidance.npy", "offset.npy", "aff.npy", "gamma.npy", "pred.npy"]
+    for name in expect:
+        assert (d / name).exists(), name
+    assert np.load(d / "guidance.npy").shape == (32, 48, 8)
+
+    # update: metric line + panel with confidence strip + gamma scalar
+    writer.add(metric=np.ones((1, 8), np.float32))
+    writer.update(1, {k: np.asarray(v) for k, v in sample.items()}, output)
+    assert (tmp_path / "test" / "images" / "step_000001.png").exists()
+    scalars = [json.loads(l) for l in
+               open(tmp_path / "scalars_test.jsonl").read().splitlines()]
+    assert any(s["tag"] == "Etc/gamma" for s in scalars)
+
+    # save_result_only path keeps the KITTI submission format
+    cfg3 = Config.from_dict(dict(cfg2.to_dict(), save_result_only=True))
+    writer2 = writer_cls(str(tmp_path / "sub"), "test", cfg3)
+    writer2.save(0, 5, {k: np.asarray(v) for k, v in sample.items()}, output)
+    assert (tmp_path / "sub" / "test" / "epoch0000" / f"{5:010d}.png").exists()
+
+
 def test_zero_init_propagation_is_identity(nlspn_out):
     cfg, sample, out = nlspn_out
     np.testing.assert_allclose(

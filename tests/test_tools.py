@@ -9,6 +9,7 @@ from PIL import Image
 
 from diffusiondepth_tpu.tools.generate_json import (
     generate_kitti_json,
+    generate_kitti_test_json,
     generate_nyu_json,
 )
 from diffusiondepth_tpu.tools.prepare_kitti import reorganize
@@ -55,6 +56,36 @@ def test_generate_kitti_json(kitti_tree):
         assert os.path.exists(kitti_tree / v)
     t = data["test"][0]
     assert "velodyne_raw" in t["depth"] and t["K"].endswith(".txt")
+
+
+def test_generate_kitti_test_json(kitti_tree):
+    """Online-submission (--test_data) split: anonymous prediction images +
+    per-image intrinsics, depth/gt pointing at the reference's dummy
+    placeholder (reference generate_json_KITTI_DP.py:176-225)."""
+    sel = kitti_tree / "depth_selection" / "test_depth_prediction_anonymous"
+    (sel / "image").mkdir(parents=True)
+    (sel / "intrinsics").mkdir(parents=True)
+    img = Image.fromarray(np.zeros((8, 8), np.uint16), mode="I;16")
+    for i in range(3):
+        img.save(sel / "image" / f"{i:010d}.png")
+        (sel / "intrinsics" / f"{i:010d}.txt").write_text("1\n")
+    dummy = (kitti_tree / "depth_selection" / "test_depth_completion_anonymous"
+             / "velodyne_raw")
+    dummy.mkdir(parents=True)
+    img.save(dummy / "0000000000.png")
+
+    data = generate_kitti_test_json(str(kitti_tree))
+    assert set(data) == {"test"}
+    assert len(data["test"]) == 3
+    s = data["test"][0]
+    assert s["rgb"].endswith("test_depth_prediction_anonymous/image/0000000000.png")
+    assert s["depth"] == s["gt"] == (
+        "depth_selection/test_depth_completion_anonymous/"
+        "velodyne_raw/0000000000.png"
+    )
+    assert s["K"].endswith("intrinsics/0000000000.txt")
+    for v in s.values():
+        assert os.path.exists(kitti_tree / v)
 
 
 def test_generate_kitti_json_caps_and_shuffles(kitti_tree):
