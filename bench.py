@@ -103,6 +103,15 @@ def main():
     dt = time.perf_counter() - t0
 
     fps = n_iters * batch_size / dt
+
+    # free the eval model/batch before the training bench (the training state
+    # + bs4 remat activations alone are ~15 GB of the 16 GB HBM)
+    del variables, batch, pending, out
+    try:
+        train_metrics = bench_training(jax, cfg)
+    except Exception as e:  # training bench is best-effort extra signal
+        train_metrics = {"train_error": f"{type(e).__name__}: {e}"}
+
     print(
         json.dumps(
             {
@@ -111,9 +120,75 @@ def main():
                 "value": round(fps, 3),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / A100_BASELINE_FPS, 3),
+                **train_metrics,
             }
         )
     )
+
+
+def bench_training(jax, cfg):
+    """Training throughput at the reference's config of record: 352x906 crop,
+    GLOBAL batch 8 (README.md:212-215) on ONE chip via --accum_steps 2
+    (2 x bs4 micro-batches; bs8 un-accumulated overflows v5e HBM by ~234 MB).
+    Returns extra JSON fields for the bench line."""
+    import gc
+    import numpy as np
+
+    from diffusiondepth_tpu.config import Config
+    from diffusiondepth_tpu.losses import LossComputer
+    from diffusiondepth_tpu.models import build_model
+    from diffusiondepth_tpu.training.optim import make_optimizer
+    from diffusiondepth_tpu.training.steps import make_train_step
+    from diffusiondepth_tpu.training.train_state import create_train_state
+
+    gc.collect()
+    th, tw, global_bs, accum = 352, 906, 8, 2
+    tcfg = Config(
+        model_name=cfg.model_name,
+        backbone_module=cfg.backbone_module,
+        backbone_name=cfg.backbone_name,
+        head_specify=cfg.head_specify,
+        inference_steps=cfg.inference_steps,
+        opt_level="O1",
+        batch_size=global_bs,
+        accum_steps=accum,
+        patch_height=th,
+        patch_width=tw,
+        max_depth=88.0,
+    ).finalize()
+    model = build_model(tcfg)
+    lc = LossComputer(tcfg)
+
+    rng = np.random.RandomState(1)
+    gt = np.clip(rng.rand(global_bs, th, tw, 1) * 80, 0, 88).astype(np.float32)
+    batch = {
+        "rgb": rng.randn(global_bs, th, tw, 3).astype(np.float32),
+        "dep": gt * (rng.rand(global_bs, th, tw, 1) > 0.9),
+        "gt": gt,
+        "depth_map": gt,
+        "depth_mask": np.ones((global_bs, th, tw, 1), np.float32),
+    }
+    tx = make_optimizer(tcfg, steps_per_epoch=100)
+    state = create_train_state(
+        model, tx, {k: v[:1] for k, v in batch.items()}, jax.random.PRNGKey(0)
+    )
+    step = make_train_step(model, lc, accum_steps=accum)
+    key = jax.random.PRNGKey(3)
+
+    state, loss, _, _ = step(state, batch, jax.random.fold_in(key, 0))
+    _ = float(loss)  # compile + hard sync (axon relay, see run_sync above)
+    n_iters = 4
+    t0 = time.perf_counter()
+    for i in range(1, n_iters + 1):
+        state, loss, _, _ = step(state, batch, jax.random.fold_in(key, i))
+    _ = float(loss)  # chain through donated state serialises the steps
+    dt = (time.perf_counter() - t0) / n_iters
+    return {
+        "train_sec_per_step": round(dt, 3),
+        "train_imgs_per_sec_chip": round(global_bs / dt, 3),
+        "train_config": f"{th}x{tw} global bs{global_bs} accum{accum} "
+                        f"{STEPS}-step sampler bf16",
+    }
 
 
 if __name__ == "__main__":

@@ -139,18 +139,17 @@ class WindowMSA(nn.Module):
         if use_fused:
             from ...ops.window_attention import window_attention_pallas
 
-            # (B, nW, N, H, D) -> (B*nW, H, N, D)
-            qg = q.reshape(b * nw, n, self.num_heads, head_dim).transpose(0, 2, 1, 3)
-            kg = k.reshape(b * nw, n, self.num_heads, head_dim).transpose(0, 2, 1, 3)
-            vg = v.reshape(b * nw, n, self.num_heads, head_dim).transpose(0, 2, 1, 3)
-            mg = (
-                jnp.tile(jnp.asarray(mask, x.dtype), (b, 1, 1))
-                if mask is not None else None
-            )
+            # (B, nW, N, H, D) -> (B, nW, H, N, D); the (nW, N, N) shift mask
+            # stays a per-phase constant - the kernel indexes it per window
+            # block (no (B*nW, N, N) tiling in HBM)
+            qg = q.transpose(0, 1, 3, 2, 4)
+            kg = k.transpose(0, 1, 3, 2, 4)
+            vg = v.transpose(0, 1, 3, 2, 4)
+            mg = jnp.asarray(mask, x.dtype) if mask is not None else None
             out = window_attention_pallas(
                 qg, kg, vg, bias_hnn.astype(jnp.float32), mg, scale
             )
-            out = out.transpose(0, 2, 1, 3).reshape(b, nw, n, c)
+            out = out.transpose(0, 1, 3, 2, 4).reshape(b, nw, n, c)
         else:
             q = q * scale
             attn = jnp.einsum("bwqhd,bwkhd->bwhqk", q, k)
@@ -182,6 +181,7 @@ class SwinBlock(nn.Module):
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
+    use_pallas: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -214,6 +214,7 @@ class SwinBlock(nn.Module):
             qk_scale=self.qk_scale,
             attn_drop_rate=self.attn_drop_rate,
             proj_drop_rate=self.drop_rate,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
             name="attn",
         )(wins, mask, train)
@@ -306,6 +307,7 @@ class SwinTransformer(nn.Module):
     # (352x906, bs8) needs ~25 GB of activations without it vs ~16 GB HBM on
     # v5e; remat trades one extra forward per block for fitting the step
     remat: bool = True
+    use_pallas: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -339,6 +341,7 @@ class SwinTransformer(nn.Module):
                     drop_rate=self.drop_rate,
                     attn_drop_rate=self.attn_drop_rate,
                     drop_path_rate=dpr[cur + bidx],
+                    use_pallas=self.use_pallas,
                     dtype=self.dtype,
                     name=f"stage{i}_block{bidx}",
                 )(x, train)

@@ -8,15 +8,22 @@ per-window q/k/v, the kernel fuses:
     attn = softmax(attn)           (f32 accumulation)
     out  = attn @ v
 
-into one VMEM-resident pass per block of windows — the (nW, heads, N, N)
+into one VMEM-resident pass per block of windows - the (nW, heads, N, N)
 attention probabilities never round-trip to HBM (at Swin-L 352x1216 stage 0
-that tensor alone is ~1.6 GB/layer in f32; XLA usually fuses it too, but the
-Pallas kernel guarantees it and keeps the whole window batch on-chip).
+that tensor alone is ~1.6 GB/layer in f32).
 
-Layout: windows are blocked along the leading (B*nW) axis; each grid step
-processes WIN_BLOCK windows x all heads. N (window area, 49 for 7x7) is
-zero-padded to a sublane multiple inside the caller; padded key slots are
-masked with -inf before the softmax.
+Calling convention (v2): q/k/v keep their natural (B, nW, H, N, D) layout and
+the shift mask stays the tiny per-phase (nW, N, N) trace-time constant - the
+kernel indexes it by window-block via the grid, so nothing is ever tiled to
+(B*nW, N, N) in HBM (the v1 convention materialised ~90 MB of mask per
+shifted Swin-L layer, which is why it lost to XLA: 37.6 vs 35.2 ms).
+Non-shifted layers compile a mask-free kernel variant - no zero-mask traffic.
+
+Grid: (B, nW/win_block); blocks never straddle images, so the mask block
+index is just the window-block index. N (window area, 49 for 7x7) is
+zero-padded to a sublane multiple; padded key slots get -inf before softmax.
+``win_block`` is auto-sized to keep the f32 attention tile within a VMEM
+budget across head counts (Swin-L stages have 6..48 heads).
 
 Falls back to the identical jnp composition off-TPU (used for interpret-mode
 parity tests and as the mathematical specification).
@@ -39,36 +46,36 @@ def window_attention_reference(
     mask: Optional[jnp.ndarray],
     scale: float,
 ) -> jnp.ndarray:
-    """Spec: q/k/v (G, H, N, D); bias (H, N, N); mask (G, N, N) or None."""
-    attn = jnp.einsum("ghnd,ghmd->ghnm", q * scale, k)
-    attn = attn + bias[None]
+    """Spec: q/k/v (B, nW, H, N, D); bias (H, N, N); mask (nW, N, N) or None."""
+    attn = jnp.einsum("bwhnd,bwhmd->bwhnm", q * scale, k)
+    attn = attn + bias[None, None]
     if mask is not None:
-        attn = attn + mask[:, None]
+        attn = attn + mask[None, :, None]
     attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
-    return jnp.einsum("ghnm,ghmd->ghnd", attn, v)
+    return jnp.einsum("bwhnm,bwhmd->bwhnd", attn, v)
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *, scale, n_valid):
-    """One block: q/k/v (BW, H, Np, D); bias (H, Np, Np); mask (BW, Np, Np).
-
-    Mosaic supports a single batch dimension on matmuls, so the (BW, H) axes
-    are fused for the two dots and un-fused for the bias/mask adds.
-    """
-    bw, h, n_pad, d = q_ref.shape
-    q = (q_ref[:] * scale).reshape(bw * h, n_pad, d)
-    k = k_ref[:].reshape(bw * h, n_pad, d)
-    v = v_ref[:].reshape(bw * h, n_pad, d)
+def _attn_core(q, k, v, bias, mask, *, scale, n_valid, out_dtype):
+    """Shared math on one block: q/k/v (BW, H, Np, D); bias (H, Np, Np);
+    mask (BW, Np, Np) or None. Mosaic supports a single batch dimension on
+    matmuls, so the (BW, H) axes are fused for the two dots and un-fused for
+    the bias/mask adds."""
+    bw, h, n_pad, d = q.shape
+    qf = (q * scale).reshape(bw * h, n_pad, d)
+    kf = k.reshape(bw * h, n_pad, d)
+    vf = v.reshape(bw * h, n_pad, d)
     attn = jax.lax.dot_general(
-        q, k,
+        qf, kf,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ).reshape(bw, h, n_pad, n_pad)
-    attn = attn + bias_ref[:][None].astype(jnp.float32)
-    attn = attn + mask_ref[:][:, None].astype(jnp.float32)
+    attn = attn + bias[None].astype(jnp.float32)
+    if mask is not None:
+        attn = attn + mask[:, None].astype(jnp.float32)
 
     # mask padded key slots
     col = jax.lax.broadcasted_iota(jnp.int32, attn.shape, dimension=3)
@@ -76,11 +83,38 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *, scale, n_valid):
 
     attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
     out = jax.lax.dot_general(
-        attn.reshape(bw * h, n_pad, n_pad), v,
+        attn.reshape(bw * h, n_pad, n_pad), vf,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    o_ref[:] = out.reshape(bw, h, n_pad, d).astype(o_ref.dtype)
+    return out.reshape(bw, h, n_pad, d).astype(out_dtype)
+
+
+def _kernel_masked(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
+                   scale, n_valid):
+    o_ref[:] = _attn_core(
+        q_ref[0], k_ref[0], v_ref[0], bias_ref[:], mask_ref[:],
+        scale=scale, n_valid=n_valid, out_dtype=o_ref.dtype,
+    )[None]
+
+
+def _kernel_nomask(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, n_valid):
+    o_ref[:] = _attn_core(
+        q_ref[0], k_ref[0], v_ref[0], bias_ref[:], None,
+        scale=scale, n_valid=n_valid, out_dtype=o_ref.dtype,
+    )[None]
+
+
+def _pick_win_block(num_heads: int, n_pad: int,
+                    vmem_budget: int = 4 * 1024 * 1024) -> int:
+    """Largest power-of-two window block whose f32 attention tile
+    (bw * heads * Np * Np * 4B) fits the budget, clamped to [8, 64]."""
+    per_window = num_heads * n_pad * n_pad * 4
+    bw = max(1, vmem_budget // per_window)
+    p = 8
+    while p * 2 <= min(bw, 64):
+        p *= 2
+    return p
 
 
 def window_attention_pallas(
@@ -90,54 +124,64 @@ def window_attention_pallas(
     bias: jnp.ndarray,
     mask: Optional[jnp.ndarray],
     scale: float,
-    win_block: int = 16,
+    win_block: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused kernel. q/k/v (G, H, N, D) with G = B * nW; bias (H, N, N);
-    mask (nW_phase, N, N) already broadcast/tiled to (G, N, N) by the caller
-    (pass zeros when no shift)."""
+    """Fused kernel. q/k/v (B, nW, H, N, D); bias (H, N, N);
+    mask (nW, N, N) per-phase constant or None (no shift)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    g, h, n, d = q.shape
+    b, nw, h, n, d = q.shape
     n_pad = _round_up(n, 8)
-    g_pad = _round_up(g, win_block)
+    if win_block is None:
+        win_block = _pick_win_block(h, n_pad)
+    nw_pad = _round_up(nw, win_block)
 
-    def pad(x, target_g):
-        pads = [(0, target_g - x.shape[0]), (0, 0), (0, n_pad - n), (0, 0)]
+    def pad(x):
+        pads = [(0, 0), (0, nw_pad - nw), (0, 0), (0, n_pad - n), (0, 0)]
         return jnp.pad(x, pads)
 
-    qp, kp, vp = pad(q, g_pad), pad(k, g_pad), pad(v, g_pad)
+    qp, kp, vp = pad(q), pad(k), pad(v)
     bias_p = jnp.pad(bias, ((0, 0), (0, n_pad - n), (0, n_pad - n)))
-    if mask is None:
-        mask_arr = jnp.zeros((g_pad, n_pad, n_pad), q.dtype)
-    else:
-        mask_arr = jnp.pad(
-            mask, ((0, g_pad - g), (0, n_pad - n), (0, n_pad - n))
-        ).astype(q.dtype)
 
-    grid = (g_pad // win_block,)
-    out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, n_valid=n),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((win_block, h, n_pad, d), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((win_block, h, n_pad, d), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((win_block, h, n_pad, d), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, n_pad, n_pad), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((win_block, n_pad, n_pad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((win_block, h, n_pad, d), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g_pad, h, n_pad, d), q.dtype),
-        interpret=interpret,
-    )(qp, kp, vp, bias_p, mask_arr)
-    return out[:g, :, :n, :]
+    grid = (b, nw_pad // win_block)
+    qkv_spec = pl.BlockSpec((1, win_block, h, n_pad, d),
+                            lambda ib, iw: (ib, iw, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((h, n_pad, n_pad), lambda ib, iw: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, win_block, h, n_pad, d),
+                            lambda ib, iw: (ib, iw, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, nw_pad, h, n_pad, d), q.dtype)
+
+    if mask is not None:
+        mask_p = jnp.pad(
+            jnp.asarray(mask),
+            ((0, nw_pad - nw), (0, n_pad - n), (0, n_pad - n)),
+        ).astype(q.dtype)
+        mask_spec = pl.BlockSpec((win_block, n_pad, n_pad),
+                                 lambda ib, iw: (iw, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(_kernel_masked, scale=scale, n_valid=n),
+            grid=grid,
+            in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, mask_spec],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(qp, kp, vp, bias_p, mask_p)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_kernel_nomask, scale=scale, n_valid=n),
+            grid=grid,
+            in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(qp, kp, vp, bias_p)
+    return out[:, :nw, :, :n, :]
 
 
 def window_attention(
@@ -150,7 +194,7 @@ def window_attention(
     use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Dispatch: Pallas on TPU, jnp elsewhere. Gradients flow through the
-    jnp path (the Pallas kernel is inference-path; training uses the spec —
+    jnp path (the Pallas kernel is inference-path; training uses the spec -
     XLA's fusion there is already strong and autodiff stays simple)."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"

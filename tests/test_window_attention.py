@@ -1,5 +1,7 @@
 """Pallas fused window-attention kernel: interpret-mode parity vs the einsum
-spec (SURVEY.md §4 layer 2: kernel parity tests)."""
+spec (SURVEY.md §4 layer 2: kernel parity tests). v2 calling convention:
+q/k/v (B, nW, H, N, D), mask is the per-phase (nW, N, N) constant indexed by
+window block inside the kernel (never tiled to (B*nW, N, N))."""
 
 import jax
 import jax.numpy as jnp
@@ -7,27 +9,27 @@ import numpy as np
 import pytest
 
 from diffusiondepth_tpu.ops.window_attention import (
+    _pick_win_block,
     window_attention_pallas,
     window_attention_reference,
 )
 
 
-@pytest.mark.parametrize("g,h,n,d,with_mask", [
-    (4, 3, 49, 32, False),
-    (6, 2, 49, 32, True),
-    (16, 6, 49, 32, True),
+@pytest.mark.parametrize("b,nw,h,n,d,with_mask", [
+    (2, 2, 3, 49, 32, False),
+    (1, 6, 2, 49, 32, True),
+    (2, 9, 6, 49, 32, True),   # nw not a multiple of win_block -> padding
 ])
-def test_pallas_kernel_matches_reference(g, h, n, d, with_mask):
+def test_pallas_kernel_matches_reference(b, nw, h, n, d, with_mask):
     rng = np.random.RandomState(0)
-    q = jnp.asarray(rng.randn(g, h, n, d).astype(np.float32))
-    k = jnp.asarray(rng.randn(g, h, n, d).astype(np.float32))
-    v = jnp.asarray(rng.randn(g, h, n, d).astype(np.float32))
+    q = jnp.asarray(rng.randn(b, nw, h, n, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, nw, h, n, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, nw, h, n, d).astype(np.float32))
     bias = jnp.asarray(rng.randn(h, n, n).astype(np.float32) * 0.1)
     mask = None
     if with_mask:
-        m = np.zeros((g, n, n), np.float32)
-        m[:, : n // 2, n // 2 :] = -100.0
-        m[:, n // 2 :, : n // 2] = -100.0
+        # distinct mask per window so per-block indexing is actually exercised
+        m = rng.choice([0.0, -100.0], size=(nw, n, n)).astype(np.float32)
         mask = jnp.asarray(m)
     scale = d ** -0.5
 
@@ -40,10 +42,10 @@ def test_pallas_kernel_matches_reference(g, h, n, d, with_mask):
 
 def test_pallas_kernel_bf16_inputs():
     rng = np.random.RandomState(1)
-    g, h, n, d = 4, 2, 49, 32
-    q = jnp.asarray(rng.randn(g, h, n, d), jnp.bfloat16)
-    k = jnp.asarray(rng.randn(g, h, n, d), jnp.bfloat16)
-    v = jnp.asarray(rng.randn(g, h, n, d), jnp.bfloat16)
+    b, nw, h, n, d = 1, 4, 2, 49, 32
+    q = jnp.asarray(rng.randn(b, nw, h, n, d), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(b, nw, h, n, d), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(b, nw, h, n, d), jnp.bfloat16)
     bias = jnp.asarray(rng.randn(h, n, n).astype(np.float32) * 0.1)
     ref = window_attention_reference(q, k, v, bias.astype(jnp.bfloat16), None, 0.17)
     out = window_attention_pallas(q, k, v, bias, None, 0.17,
@@ -52,3 +54,15 @@ def test_pallas_kernel_bf16_inputs():
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         rtol=3e-2, atol=3e-2,
     )
+
+
+def test_win_block_vmem_sizing():
+    """Block auto-sizing keeps the f32 attention tile within ~4 MB across the
+    Swin-L head counts (6/12/24/48) and stays in [8, 64]."""
+    for h in (6, 12, 24, 48):
+        bw = _pick_win_block(h, 56)
+        assert 8 <= bw <= 64
+        assert bw & (bw - 1) == 0
+        if bw > 8:
+            assert bw * h * 56 * 56 * 4 <= 4 * 1024 * 1024
+    assert _pick_win_block(6, 56) > _pick_win_block(48, 56)
