@@ -135,7 +135,11 @@ class Config:
     accum_steps: int = 1
     tta_flip: bool = False  # flip-ensemble TTA (leaderboard protocol)
     prefetch: int = 2  # device prefetch depth in the input pipeline
-    use_pallas: bool = True  # enable Pallas kernels where available
+    # Opt-in: route Swin window attention through the fused Pallas kernel.
+    # Default OFF - measured 0.74x of XLA's fused composition across all
+    # flagship stage shapes on v5e (tools/bench_window_attention.py table in
+    # README); kept for shapes/hardware where VMEM-residency wins.
+    use_pallas: bool = False
     log_every: int = 50
     profile_dir: Optional[str] = None  # write a jax.profiler trace of steps 10-15
 
@@ -266,6 +270,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_every", type=int, default=d.log_every)
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--tta_flip", action="store_true", default=False)
+    p.add_argument("--use_pallas", action="store_true", default=False)
     return p
 
 

@@ -91,13 +91,15 @@ class WindowMSA(nn.Module):
     (reference swin.py:92-189).
 
     ``use_pallas=True`` routes the attention core through the fused Pallas
-    kernel (ops/window_attention.py) at inference on TPU. Default OFF:
-    measured on v5e at the KITTI Swin-L stage-0 shape (7168 windows x 6
-    heads x 49 x 32, bf16), XLA's fused einsum composition is already
-    slightly faster (35.2 ms vs 37.6 ms) — XLA fuses bias+mask+softmax into
-    the batched matmuls on its own here. The kernel remains available for
-    shapes where guaranteed VMEM residency wins, with interpret-mode parity
-    tests (tests/test_window_attention.py).
+    kernel (ops/window_attention.py) at inference on TPU. Default OFF — the
+    measured decision (tools/bench_window_attention.py, v5e, bf16, bs 8,
+    every Swin-L stage shape of KITTI 352x1216): XLA's fused einsum
+    composition wins at all of them (kernel at 0.66-0.89x, 0.74x overall),
+    even after the v2 kernel eliminated the mask tiling. Both sit far from
+    roofline — the op is MXU-latency-bound on tiny (56x32) per-window
+    matmuls, and XLA schedules that batched regime better. The kernel
+    remains opt-in (--use_pallas) with interpret-mode and real-hardware
+    parity tests (tests/test_window_attention.py).
     """
 
     embed_dims: int
@@ -358,7 +360,7 @@ class SwinTransformer(nn.Module):
         return outs
 
 
-def _swin_large(dtype=None):
+def _swin_large(dtype=None, use_pallas=False):
     return SwinTransformer(
         embed_dims=192,
         patch_size=4,
@@ -367,42 +369,45 @@ def _swin_large(dtype=None):
         depths=(2, 2, 18, 2),
         num_heads=(6, 12, 24, 48),
         out_indices=(0, 1, 2, 3),
+        use_pallas=use_pallas,
         dtype=dtype,
     )
 
 
 @BACKBONES.register(name="swin_large_naive_nopretrain")
-def swin_large_naive_nopretrain(dtype=None):
-    return _swin_large(dtype)
+def swin_large_naive_nopretrain(dtype=None, use_pallas=False):
+    return _swin_large(dtype, use_pallas)
 
 
 @BACKBONES.register(name="swin_large_naive_l4w722422k")
-def swin_large_naive_l4w722422k(dtype=None):
+def swin_large_naive_l4w722422k(dtype=None, use_pallas=False):
     """Swin-L, ImageNet-22k pretrain in the reference (:796-810). Pretrained
     weights load via utils/convert_torch_checkpoint.py when a .pth is
     available; architecture is identical either way."""
-    return _swin_large(dtype)
+    return _swin_large(dtype, use_pallas)
 
 
 @BACKBONES.register(name="swin_large_naive_swinlargepreatrain_add")
-def swin_large_naive_swinlargepreatrain_add(dtype=None):
-    return _swin_large(dtype)
+def swin_large_naive_swinlargepreatrain_add(dtype=None, use_pallas=False):
+    return _swin_large(dtype, use_pallas)
 
 
 @BACKBONES.register(name="swin_tiny")
-def swin_tiny(dtype=None):
+def swin_tiny(dtype=None, use_pallas=False):
     """Swin-T (for fast tests / BASELINE config #2)."""
     return SwinTransformer(
-        embed_dims=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24), dtype=dtype
+        embed_dims=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24),
+        use_pallas=use_pallas, dtype=dtype,
     )
 
 
 @BACKBONES.register(name="swin_micro")
-def swin_micro(dtype=None):
+def swin_micro(dtype=None, use_pallas=False):
     """Minimal Swin for CI / the multi-chip dryrun: every layer type of the
     flagship backbone (patch embed, plain + shifted window MSA, patch merging,
     per-stage norms) at a size that compiles in seconds on a 1-core CPU host.
     Pyramid channels (32, 64, 128, 256)."""
     return SwinTransformer(
-        embed_dims=32, depths=(1, 2, 1, 1), num_heads=(1, 2, 4, 8), dtype=dtype
+        embed_dims=32, depths=(1, 2, 1, 1), num_heads=(1, 2, 4, 8),
+        use_pallas=use_pallas, dtype=dtype,
     )

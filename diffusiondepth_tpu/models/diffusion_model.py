@@ -44,14 +44,22 @@ class Diffusion_DCbase_Model(nn.Module):
     # smaller backbones of the same family reuse the head, e.g. swin_tiny in
     # the multi-chip dryrun).
     head_in_channels: Optional[Any] = None
+    # Route Swin window attention through the fused Pallas kernel (opt-in;
+    # measured SLOWER than XLA at the flagship shapes - see
+    # tools/bench_window_attention.py and ops/window_attention.py docstring)
+    use_pallas: bool = False
     dtype: Optional[Any] = None
 
     def setup(self):
+        bb_kwargs = {}
         if self.backbone_module == "swin":
             from .backbones import swin  # noqa: F401
+
+            bb_kwargs["use_pallas"] = self.use_pallas
         elif self.backbone_module == "mpvit":
             from .backbones import mpvit  # noqa: F401
-        self.depth_backbone = BACKBONES.get(self.backbone_name)(dtype=self.dtype)
+        self.depth_backbone = BACKBONES.get(self.backbone_name)(
+            dtype=self.dtype, **bb_kwargs)
         head_cls = HEADS.get(self.head_name)
         kwargs = {}
         if self.depth_transform_cfg is not None:
@@ -114,6 +122,8 @@ def build_model(cfg) -> nn.Module:
             num_train_timesteps=cfg.num_train_timesteps,
             timestep_schedule=cfg.timestep_schedule,
             depth_transform_cfg=dt_cfg,
+            use_pallas=bool(getattr(cfg, "use_pallas", False))
+            and cfg.backbone_module == "swin",
             dtype=cfg.compute_dtype if cfg.dtype == "bfloat16" else None,
         )
     if cfg.model_name == "NLSPN":

@@ -16,8 +16,15 @@ Calling convention (v2): q/k/v keep their natural (B, nW, H, N, D) layout and
 the shift mask stays the tiny per-phase (nW, N, N) trace-time constant - the
 kernel indexes it by window-block via the grid, so nothing is ever tiled to
 (B*nW, N, N) in HBM (the v1 convention materialised ~90 MB of mask per
-shifted Swin-L layer, which is why it lost to XLA: 37.6 vs 35.2 ms).
-Non-shifted layers compile a mask-free kernel variant - no zero-mask traffic.
+shifted Swin-L layer). Non-shifted layers compile a mask-free kernel variant.
+
+STATUS: opt-in, measured SLOWER than XLA at every flagship stage shape
+(0.66-0.89x; tools/bench_window_attention.py, table in README). Both
+implementations are MXU-latency-bound on the tiny 56x32 per-window matmuls
+(~15x off the HBM roofline); XLA schedules that batched regime better than
+this kernel's (window-block x head) grid. Kept as the VMEM-guaranteed
+fallback for shapes where XLA's fusion breaks, with interpret-mode and
+real-hardware parity tests.
 
 Grid: (B, nW/win_block); blocks never straddle images, so the mask block
 index is just the window-block index. N (window area, 49 for 7x7) is
@@ -105,14 +112,23 @@ def _kernel_nomask(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, n_valid):
     )[None]
 
 
-def _pick_win_block(num_heads: int, n_pad: int,
-                    vmem_budget: int = 4 * 1024 * 1024) -> int:
-    """Largest power-of-two window block whose f32 attention tile
-    (bw * heads * Np * Np * 4B) fits the budget, clamped to [8, 64]."""
-    per_window = num_heads * n_pad * n_pad * 4
-    bw = max(1, vmem_budget // per_window)
-    p = 8
-    while p * 2 <= min(bw, 64):
+def _pick_win_block(num_heads: int, n_pad: int, d: int = 32, itemsize: int = 2,
+                    vmem_budget: int = 8 * 1024 * 1024) -> int:
+    """Largest power-of-two window block whose whole per-block footprint fits
+    the budget: double-buffered q/k/v/out I/O blocks + the f32 attention tile
+    + its softmax scratch (Mosaic's scoped-vmem limit is 16 MB; stage-0
+    Swin-L at block 32 hits 21 MB, hence the explicit estimate)."""
+    def footprint(bw):
+        io = 4 * bw * num_heads * n_pad * d * itemsize * 2  # q,k,v,out x2 buf
+        attn = bw * num_heads * n_pad * n_pad * 4 * 2       # logits + softmax
+        mask = bw * n_pad * n_pad * itemsize * 2
+        return io + attn + mask
+
+    # Mosaic's scoped-vmem accounting lands at ~2x this estimate (measured:
+    # stage-0 block 32 estimates 10.7 MB, compiler reports 21 MB against its
+    # 16 MB limit), so the default budget is half the hardware limit.
+    p = 2
+    while p * 2 <= 64 and footprint(p * 2) <= vmem_budget:
         p *= 2
     return p
 

@@ -57,12 +57,17 @@ def test_pallas_kernel_bf16_inputs():
 
 
 def test_win_block_vmem_sizing():
-    """Block auto-sizing keeps the f32 attention tile within ~4 MB across the
-    Swin-L head counts (6/12/24/48) and stays in [8, 64]."""
+    """Block auto-sizing keeps the whole per-block footprint (double-buffered
+    I/O + f32 attention tile + scratch) within the budget across the Swin-L
+    head counts (6/12/24/48); the budget is half the 16 MB scoped-vmem limit
+    because Mosaic's accounting lands at ~2x the analytic estimate."""
     for h in (6, 12, 24, 48):
         bw = _pick_win_block(h, 56)
-        assert 8 <= bw <= 64
+        assert 2 <= bw <= 64
         assert bw & (bw - 1) == 0
-        if bw > 8:
-            assert bw * h * 56 * 56 * 4 <= 4 * 1024 * 1024
+        # footprint at the chosen block stays under the 16 MB hardware limit
+        # even with the observed 2x accounting factor
+        io = 4 * bw * h * 56 * 32 * 2 * 2
+        attn = bw * h * 56 * 56 * 4 * 2
+        assert 2 * (io + attn) <= 16 * 1024 * 1024, (h, bw)
     assert _pick_win_block(6, 56) > _pick_win_block(48, 56)

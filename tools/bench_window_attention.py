@@ -70,7 +70,10 @@ def main():
                     if shifted else None)
 
             def chain(fn):
-                def run(q0):
+                # k/v/bias/mask must be jit ARGUMENTS: closed-over arrays are
+                # embedded as HLO constants (~170 MB of program through the
+                # axon tunnel per config - compiles take tens of minutes)
+                def run(q0, k, v, bias, mask):
                     def body(c, _):
                         o = fn(c, k, v, bias, mask, scale)
                         return o.astype(c.dtype), ()
@@ -84,9 +87,9 @@ def main():
                 ("pallas", window_attention_pallas),
             ):
                 f = chain(fn)
-                float(f(q))  # compile + warm
+                float(f(q, k, v, bias, mask))  # compile + warm
                 t0 = time.perf_counter()
-                float(f(q))
+                float(f(q, k, v, bias, mask))
                 dt = (time.perf_counter() - t0) / ITERS
                 results[name] = dt * 1e3
 
