@@ -140,6 +140,9 @@ class Config:
     # flagship stage shapes on v5e (tools/bench_window_attention.py table in
     # README); kept for shapes/hardware where VMEM-residency wins.
     use_pallas: bool = False
+    # Rematerialise Swin blocks in the training backward (memory for compute;
+    # turn off when the micro-batch leaves HBM headroom)
+    remat_backbone: bool = True
     log_every: int = 50
     profile_dir: Optional[str] = None  # write a jax.profiler trace of steps 10-15
 
@@ -271,6 +274,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--tta_flip", action="store_true", default=False)
     p.add_argument("--use_pallas", action="store_true", default=False)
+    p.add_argument("--no_remat_backbone", dest="remat_backbone",
+                   action="store_false", default=True)
     return p
 
 

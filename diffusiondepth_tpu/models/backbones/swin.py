@@ -360,7 +360,7 @@ class SwinTransformer(nn.Module):
         return outs
 
 
-def _swin_large(dtype=None, use_pallas=False):
+def _swin_large(dtype=None, use_pallas=False, remat=True):
     return SwinTransformer(
         embed_dims=192,
         patch_size=4,
@@ -370,44 +370,46 @@ def _swin_large(dtype=None, use_pallas=False):
         num_heads=(6, 12, 24, 48),
         out_indices=(0, 1, 2, 3),
         use_pallas=use_pallas,
+        remat=remat,
         dtype=dtype,
     )
 
 
 @BACKBONES.register(name="swin_large_naive_nopretrain")
-def swin_large_naive_nopretrain(dtype=None, use_pallas=False):
-    return _swin_large(dtype, use_pallas)
+def swin_large_naive_nopretrain(dtype=None, use_pallas=False, remat=True):
+    return _swin_large(dtype, use_pallas, remat)
 
 
 @BACKBONES.register(name="swin_large_naive_l4w722422k")
-def swin_large_naive_l4w722422k(dtype=None, use_pallas=False):
+def swin_large_naive_l4w722422k(dtype=None, use_pallas=False, remat=True):
     """Swin-L, ImageNet-22k pretrain in the reference (:796-810). Pretrained
     weights load via utils/convert_torch_checkpoint.py when a .pth is
     available; architecture is identical either way."""
-    return _swin_large(dtype, use_pallas)
+    return _swin_large(dtype, use_pallas, remat)
 
 
 @BACKBONES.register(name="swin_large_naive_swinlargepreatrain_add")
-def swin_large_naive_swinlargepreatrain_add(dtype=None, use_pallas=False):
-    return _swin_large(dtype, use_pallas)
+def swin_large_naive_swinlargepreatrain_add(dtype=None, use_pallas=False,
+                                            remat=True):
+    return _swin_large(dtype, use_pallas, remat)
 
 
 @BACKBONES.register(name="swin_tiny")
-def swin_tiny(dtype=None, use_pallas=False):
+def swin_tiny(dtype=None, use_pallas=False, remat=True):
     """Swin-T (for fast tests / BASELINE config #2)."""
     return SwinTransformer(
         embed_dims=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24),
-        use_pallas=use_pallas, dtype=dtype,
+        use_pallas=use_pallas, remat=remat, dtype=dtype,
     )
 
 
 @BACKBONES.register(name="swin_micro")
-def swin_micro(dtype=None, use_pallas=False):
+def swin_micro(dtype=None, use_pallas=False, remat=True):
     """Minimal Swin for CI / the multi-chip dryrun: every layer type of the
     flagship backbone (patch embed, plain + shifted window MSA, patch merging,
     per-stage norms) at a size that compiles in seconds on a 1-core CPU host.
     Pyramid channels (32, 64, 128, 256)."""
     return SwinTransformer(
         embed_dims=32, depths=(1, 2, 1, 1), num_heads=(1, 2, 4, 8),
-        use_pallas=use_pallas, dtype=dtype,
+        use_pallas=use_pallas, remat=remat, dtype=dtype,
     )

@@ -15,6 +15,7 @@ BatchNorm parity notes:
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Optional, Tuple, Union
 
 import jax
@@ -185,14 +186,101 @@ class DeconvBNAct(nn.Module):
 
 
 class GroupNorm(nn.Module):
-    """torch-compatible GroupNorm (affine, eps 1e-5)."""
+    """torch-compatible GroupNorm (affine, eps 1e-5).
+
+    Under the bf16 compute policy the normalization ARITHMETIC stays bf16
+    while the statistics use f32-accumulating reductions. flax's nn.GroupNorm
+    instead upcasts the whole activation to f32, which makes the VJP stage
+    full-size f32 tensors - profiled on the flagship training step, those f32
+    stagings (plus the f32 layout copies they force between GroupNorm and
+    conv fusions) are a large slice of the sampler-backward's HBM traffic,
+    and that backward is bandwidth-bound at ~65% of peak. Param names/shapes
+    ('scale'/'bias', f32) are identical to flax's, so checkpoints are
+    unaffected; the f32 path (parity tests, O0) still uses flax directly.
+    """
 
     num_groups: int
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        return nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5, dtype=self.dtype)(x)
+        if self.dtype != jnp.bfloat16:
+            return nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5,
+                                dtype=self.dtype)(x)
+        # name matches the flax submodule so the param tree ('GroupNorm_0/
+        # {scale,bias}') is identical across dtype configurations
+        return _BF16GroupNorm(self.num_groups, name="GroupNorm_0")(x)
+
+
+class _BF16GroupNorm(nn.Module):
+    """bf16-arithmetic GroupNorm with f32-accumulated statistics.
+
+    Forward AND backward are hand-written (``jax.custom_vjp``): autodiff
+    through the f32-accumulated statistics stages full-size f32 tensors in
+    the VJP (profiled at ~26 GB/step of pure GroupNorm-backward traffic in
+    the flagship 20-step sampler backward, which is bandwidth-bound). The
+    analytic gradient below is the textbook GN backward
+        dx = inv * (t - mean_g(t) - xhat * mean_g(t * xhat)),  t = dy * scale
+    evaluated in bf16 with f32-accumulating reductions - ~5 full-size bf16
+    traversals, zero full-size f32.
+    """
+
+    num_groups: int
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return _gn_bf16(x.astype(jnp.bfloat16), scale, bias, self.num_groups)
+
+
+def _gn_bf16_fwd_impl(x, scale, bias, num_groups):
+    b, c = x.shape[0], x.shape[-1]
+    xg = x.reshape(b, -1, num_groups, c // num_groups)
+    red = (1, 3)
+    # f32 ACCUMULATORS over bf16 elements: XLA fuses the convert+square into
+    # the reduction, nothing full-size materialises in f32
+    mean = jnp.mean(xg, axis=red, keepdims=True, dtype=jnp.float32)
+    mean2 = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=red, keepdims=True)
+    inv = jax.lax.rsqrt(jnp.maximum(mean2 - jnp.square(mean), 0.0) + 1e-5)
+    xhat = ((xg - mean.astype(jnp.bfloat16)) * inv.astype(jnp.bfloat16)).reshape(
+        x.shape
+    )
+    y = xhat * scale.astype(jnp.bfloat16) + bias.astype(jnp.bfloat16)
+    return y, (xhat, inv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gn_bf16(x, scale, bias, num_groups):
+    return _gn_bf16_fwd_impl(x, scale, bias, num_groups)[0]
+
+
+def _gn_bf16_fwd(x, scale, bias, num_groups):
+    y, (xhat, inv) = _gn_bf16_fwd_impl(x, scale, bias, num_groups)
+    return y, (xhat, inv, scale)
+
+
+def _gn_bf16_bwd(num_groups, res, dy):
+    xhat, inv, scale = res
+    b, c = dy.shape[0], dy.shape[-1]
+    axes = tuple(range(dy.ndim - 1))
+    dscale = jnp.sum(dy * xhat, axis=axes, dtype=jnp.float32)
+    dbias = jnp.sum(dy, axis=axes, dtype=jnp.float32)
+    t = dy * scale.astype(jnp.bfloat16)
+    tg = t.reshape(b, -1, num_groups, c // num_groups)
+    xh = xhat.reshape(b, -1, num_groups, c // num_groups)
+    red = (1, 3)
+    m1 = jnp.mean(tg, axis=red, keepdims=True, dtype=jnp.float32)
+    m2 = jnp.mean(tg * xh, axis=red, keepdims=True, dtype=jnp.float32)
+    dx = (
+        (tg - m1.astype(jnp.bfloat16) - xh * m2.astype(jnp.bfloat16))
+        * inv.astype(jnp.bfloat16)
+    ).reshape(dy.shape)
+    return dx, dscale.astype(scale.dtype), dbias.astype(scale.dtype)
+
+
+_gn_bf16.defvjp(_gn_bf16_fwd, _gn_bf16_bwd)
 
 
 def max_pool2d(

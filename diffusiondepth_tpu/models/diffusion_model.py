@@ -48,6 +48,11 @@ class Diffusion_DCbase_Model(nn.Module):
     # measured SLOWER than XLA at the flagship shapes - see
     # tools/bench_window_attention.py and ops/window_attention.py docstring)
     use_pallas: bool = False
+    # Rematerialise Swin blocks under grad. True = fits Swin-L training at
+    # micro-batch 8 in 16 GB HBM; False trades memory for skipping the remat
+    # re-forward (faster when the micro-batch leaves HBM headroom, e.g.
+    # accumulated micro-batch 4).
+    remat_backbone: bool = True
     dtype: Optional[Any] = None
 
     def setup(self):
@@ -56,6 +61,7 @@ class Diffusion_DCbase_Model(nn.Module):
             from .backbones import swin  # noqa: F401
 
             bb_kwargs["use_pallas"] = self.use_pallas
+            bb_kwargs["remat"] = self.remat_backbone
         elif self.backbone_module == "mpvit":
             from .backbones import mpvit  # noqa: F401
         self.depth_backbone = BACKBONES.get(self.backbone_name)(
@@ -124,6 +130,7 @@ def build_model(cfg) -> nn.Module:
             depth_transform_cfg=dt_cfg,
             use_pallas=bool(getattr(cfg, "use_pallas", False))
             and cfg.backbone_module == "swin",
+            remat_backbone=bool(getattr(cfg, "remat_backbone", True)),
             dtype=cfg.compute_dtype if cfg.dtype == "bfloat16" else None,
         )
     if cfg.model_name == "NLSPN":

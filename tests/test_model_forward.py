@@ -226,3 +226,87 @@ def test_x4_model_variant_quarter_res_latent():
     assert out["gt_map_t"].shape[1:3] == (8, 12)  # 1/4 resolution latent
     assert out["pred"].shape == (1, 32, 48, 1)
     assert np.all(np.isfinite(np.asarray(out["pred"])))
+
+
+def test_bf16_groupnorm_matches_f32_flax_groupnorm():
+    """The bf16-policy GroupNorm (bf16 arithmetic, f32-accumulated stats;
+    models/common.py) must match flax's f32 GroupNorm within bf16 tolerance
+    and expose the identical 'GroupNorm_0/{scale,bias}' param tree, so
+    checkpoints are dtype-portable."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffusiondepth_tpu.models.common import GroupNorm
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 8, 12, 64).astype(np.float32) * 3 + 1.5
+
+    gn32 = GroupNorm(4, dtype=None)
+    v32 = gn32.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    gn16 = GroupNorm(4, dtype=jnp.bfloat16)
+    v16 = gn16.init(jax.random.PRNGKey(0), jnp.asarray(x, jnp.bfloat16))
+
+    t32 = jax.tree_util.tree_map(lambda a: a.shape, v32)
+    t16 = jax.tree_util.tree_map(lambda a: a.shape, v16)
+    assert t32 == t16  # same param names and shapes
+
+    # non-trivial affine params
+    p = {"params": {"GroupNorm_0": {
+        "scale": jnp.asarray(rng.rand(64).astype(np.float32) + 0.5),
+        "bias": jnp.asarray(rng.randn(64).astype(np.float32)),
+    }}}
+    y32 = np.asarray(gn32.apply(p, jnp.asarray(x)))
+    y16 = np.asarray(gn16.apply(p, jnp.asarray(x, jnp.bfloat16)),
+                     dtype=np.float32)
+    assert gn16.apply(p, jnp.asarray(x, jnp.bfloat16)).dtype == jnp.bfloat16
+    np.testing.assert_allclose(y16, y32, atol=0.15, rtol=0.1)
+    # and the normalisation is real: per-group mean ~0, std ~1 pre-affine
+    y16_plain = np.asarray(
+        gn16.apply(v16, jnp.asarray(x, jnp.bfloat16)), dtype=np.float32
+    )
+    grp = y16_plain.reshape(2, -1, 4, 16)
+    np.testing.assert_allclose(grp.mean(axis=(1, 3)), 0.0, atol=0.05)
+    np.testing.assert_allclose(grp.std(axis=(1, 3)), 1.0, atol=0.05)
+
+
+def test_bf16_groupnorm_analytic_vjp_matches_autodiff():
+    """The hand-written GN backward (models/common.py `_gn_bf16_bwd`) must
+    match autodiff through the f32 flax GroupNorm within bf16 tolerance for
+    dx, dscale, dbias."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+
+    from diffusiondepth_tpu.models.common import _gn_bf16
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 6, 10, 64).astype(np.float32) * 2 + 0.7
+    scale = (rng.rand(64) + 0.5).astype(np.float32)
+    bias = rng.randn(64).astype(np.float32)
+    ct = rng.randn(2, 6, 10, 64).astype(np.float32)
+
+    gn = nn.GroupNorm(num_groups=4, epsilon=1e-5)
+
+    def f32_loss(x, s, b):
+        y = gn.apply({"params": {"scale": s, "bias": b}}, x)
+        return jnp.sum(y * ct)
+
+    def bf16_loss(x, s, b):
+        y = _gn_bf16(x.astype(jnp.bfloat16), s, b, 4)
+        return jnp.sum(y.astype(jnp.float32) * ct)
+
+    g32 = jax.grad(f32_loss, argnums=(0, 1, 2))(
+        jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias)
+    )
+    g16 = jax.grad(bf16_loss, argnums=(0, 1, 2))(
+        jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias)
+    )
+    for a, b, tol in zip(g16, g32, (0.15, 2.0, 1.0)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        # bf16 elementwise noise scales with magnitude; compare with a
+        # magnitude-aware atol
+        np.testing.assert_allclose(a, b, atol=tol * 0.02 * np.abs(b).max() + 1e-3,
+                                   rtol=0.1)
