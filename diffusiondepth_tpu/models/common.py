@@ -262,21 +262,36 @@ def _gn_bf16_fwd(x, scale, bias, num_groups):
 
 
 def _gn_bf16_bwd(num_groups, res, dy):
+    # Everything full-size stays bf16. The group statistics are derived from
+    # per-(batch, channel) f32-accumulated spatial sums - reducing straight to
+    # group means (jnp.mean(..., dtype=f32)) hands XLA a bf16 product with
+    # multiple consumers and it materialises full-size f32 converts (profiled:
+    # three ~26 GB/step f32 stagings + f32 layout copies in the sampler
+    # backward). Via the (b, c) sums, the only f32 tensors are (b, c)-sized.
     xhat, inv, scale = res
     b, c = dy.shape[0], dy.shape[-1]
-    axes = tuple(range(dy.ndim - 1))
-    dscale = jnp.sum(dy * xhat, axis=axes, dtype=jnp.float32)
-    dbias = jnp.sum(dy, axis=axes, dtype=jnp.float32)
-    t = dy * scale.astype(jnp.bfloat16)
-    tg = t.reshape(b, -1, num_groups, c // num_groups)
-    xh = xhat.reshape(b, -1, num_groups, c // num_groups)
-    red = (1, 3)
-    m1 = jnp.mean(tg, axis=red, keepdims=True, dtype=jnp.float32)
-    m2 = jnp.mean(tg * xh, axis=red, keepdims=True, dtype=jnp.float32)
-    dx = (
-        (tg - m1.astype(jnp.bfloat16) - xh * m2.astype(jnp.bfloat16))
-        * inv.astype(jnp.bfloat16)
-    ).reshape(dy.shape)
+    cg = c // num_groups
+    spatial = tuple(range(1, dy.ndim - 1))
+    p1 = jnp.sum(dy, axis=spatial, dtype=jnp.float32)  # (b, c)
+    p2 = jnp.sum(dy * xhat, axis=spatial, dtype=jnp.float32)  # (b, c)
+    dbias = p1.sum(0)
+    dscale = p2.sum(0)
+    n_spatial = xhat.size // (b * c)
+    n_group = n_spatial * cg  # elements per normalization group
+    sf = scale.astype(jnp.float32)
+    # m1 = mean_g(dy*scale), m2 = mean_g(dy*scale*xhat): scale is constant
+    # over spatial, so both collapse onto the (b, c) sums
+    m1 = ((p1 * sf).reshape(b, num_groups, cg).sum(-1) / n_group)  # (b, g)
+    m2 = ((p2 * sf).reshape(b, num_groups, cg).sum(-1) / n_group)
+    bshape = (b,) + (1,) * (dy.ndim - 2) + (c,)
+    m1c = jnp.repeat(m1, cg, axis=-1).astype(jnp.bfloat16).reshape(bshape)
+    m2c = jnp.repeat(m2, cg, axis=-1).astype(jnp.bfloat16).reshape(bshape)
+    invc = (
+        jnp.repeat(inv.reshape(b, num_groups), cg, axis=-1)
+        .astype(jnp.bfloat16)
+        .reshape(bshape)
+    )
+    dx = (dy * scale.astype(jnp.bfloat16) - m1c - xhat * m2c) * invc
     return dx, dscale.astype(scale.dtype), dbias.astype(scale.dtype)
 
 
