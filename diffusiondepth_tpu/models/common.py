@@ -235,18 +235,43 @@ class _BF16GroupNorm(nn.Module):
         return _gn_bf16(x.astype(jnp.bfloat16), scale, bias, self.num_groups)
 
 
-def _gn_bf16_fwd_impl(x, scale, bias, num_groups):
-    b, c = x.shape[0], x.shape[-1]
-    xg = x.reshape(b, -1, num_groups, c // num_groups)
-    red = (1, 3)
-    # f32 ACCUMULATORS over bf16 elements: XLA fuses the convert+square into
-    # the reduction, nothing full-size materialises in f32
-    mean = jnp.mean(xg, axis=red, keepdims=True, dtype=jnp.float32)
-    mean2 = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=red, keepdims=True)
-    inv = jax.lax.rsqrt(jnp.maximum(mean2 - jnp.square(mean), 0.0) + 1e-5)
-    xhat = ((xg - mean.astype(jnp.bfloat16)) * inv.astype(jnp.bfloat16)).reshape(
-        x.shape
+def _sum_spatial_f32(x2):
+    """(b, n, c) bf16 -> (b, c) f32 spatial sum as a batched GEMV.
+
+    A plain ``jnp.sum(..., dtype=f32)`` is lowered as convert-then-reduce, and
+    on TPU the full-size f32 convert gets MATERIALISED whenever the reduce
+    lands in a different fusion than the producer (profiled: several ~330 MB
+    f32 stagings per sampler step in the flagship backward). A bf16 dot with
+    a ones vector reduces on the MXU, which accumulates in f32 natively -
+    identical precision, bf16-only memory traffic.
+    """
+    ones = jnp.ones(x2.shape[:2], jnp.bfloat16)
+    return jax.lax.dot_general(
+        ones,
+        x2,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
     )
+
+
+def _gn_bf16_fwd_impl(x, scale, bias, num_groups):
+    # Statistics from per-(batch, channel) f32-accumulated spatial sums, via
+    # MXU dots (see _sum_spatial_f32). This scan body is replayed under remat
+    # during the backward, so the forward must also avoid staging full-size
+    # f32; every full-size tensor here is bf16, all f32 is (b, c)-sized.
+    b, c = x.shape[0], x.shape[-1]
+    cg = c // num_groups
+    x2 = x.reshape(b, -1, c)
+    n_group = x2.shape[1] * cg
+    s1 = _sum_spatial_f32(x2).reshape(b, num_groups, cg).sum(-1)  # (b, g)
+    s2 = _sum_spatial_f32(x2 * x2).reshape(b, num_groups, cg).sum(-1)
+    mean = s1 / n_group
+    var = jnp.maximum(s2 / n_group - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + 1e-5)
+    xg = x.reshape(b, -1, num_groups, cg)
+    mean4 = mean.astype(jnp.bfloat16)[:, None, :, None]
+    inv4 = inv.astype(jnp.bfloat16)[:, None, :, None]
+    xhat = ((xg - mean4) * inv4).reshape(x.shape)
     y = xhat * scale.astype(jnp.bfloat16) + bias.astype(jnp.bfloat16)
     return y, (xhat, inv)
 
@@ -271,9 +296,9 @@ def _gn_bf16_bwd(num_groups, res, dy):
     xhat, inv, scale = res
     b, c = dy.shape[0], dy.shape[-1]
     cg = c // num_groups
-    spatial = tuple(range(1, dy.ndim - 1))
-    p1 = jnp.sum(dy, axis=spatial, dtype=jnp.float32)  # (b, c)
-    p2 = jnp.sum(dy * xhat, axis=spatial, dtype=jnp.float32)  # (b, c)
+    dy2 = dy.reshape(b, -1, c)
+    p1 = _sum_spatial_f32(dy2)  # (b, c)
+    p2 = _sum_spatial_f32(dy2 * xhat.reshape(b, -1, c))  # (b, c)
     dbias = p1.sum(0)
     dscale = p2.sum(0)
     n_spatial = xhat.size // (b * c)
