@@ -143,6 +143,10 @@ class Config:
     # Rematerialise Swin blocks in the training backward (memory for compute;
     # turn off when the micro-batch leaves HBM headroom)
     remat_backbone: bool = True
+    # Fused Pallas denoiser conv chain (ops/fused_denoiser.py): 2.0x the XLA
+    # lowering of the sampler body on v5e. Per-call guards (bf16, scalar t,
+    # H%8==0, 'upsample_add') fall back to the jnp path when not applicable.
+    fused_denoiser: bool = True
     log_every: int = 50
     profile_dir: Optional[str] = None  # write a jax.profiler trace of steps 10-15
 
@@ -275,6 +279,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tta_flip", action="store_true", default=False)
     p.add_argument("--use_pallas", action="store_true", default=False)
     p.add_argument("--no_remat_backbone", dest="remat_backbone",
+                   action="store_false", default=True)
+    p.add_argument("--no_fused_denoiser", dest="fused_denoiser",
                    action="store_false", default=True)
     return p
 

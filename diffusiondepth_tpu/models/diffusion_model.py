@@ -53,6 +53,10 @@ class Diffusion_DCbase_Model(nn.Module):
     # re-forward (faster when the micro-batch leaves HBM headroom, e.g.
     # accumulated micro-batch 4).
     remat_backbone: bool = True
+    # fused Pallas denoiser conv chain (2x the XLA lowering on v5e; see
+    # ops/fused_denoiser.py). Safe everywhere: per-call guards fall back to
+    # the jnp path when shape/dtype/schedule conditions do not hold.
+    use_fused_denoiser: bool = True
     dtype: Optional[Any] = None
 
     def setup(self):
@@ -76,6 +80,7 @@ class Diffusion_DCbase_Model(nn.Module):
             inference_steps=self.inference_steps,
             num_train_timesteps=self.num_train_timesteps,
             timestep_schedule=self.timestep_schedule,
+            use_fused_denoiser=self.use_fused_denoiser,
             dtype=self.dtype,
             **kwargs,
         )
@@ -131,6 +136,7 @@ def build_model(cfg) -> nn.Module:
             use_pallas=bool(getattr(cfg, "use_pallas", False))
             and cfg.backbone_module == "swin",
             remat_backbone=bool(getattr(cfg, "remat_backbone", True)),
+            use_fused_denoiser=bool(getattr(cfg, "fused_denoiser", True)),
             dtype=cfg.compute_dtype if cfg.dtype == "bfloat16" else None,
         )
     if cfg.model_name == "NLSPN":

@@ -57,6 +57,9 @@ class DDIMDepthEstimateHead(nn.Module):
     # 'uniform' (scheduling_ddim.py) or 'biased' (scheduling_ddim_si.py's
     # log-spaced SI table - the reference ships it unused, SURVEY.md 2.3)
     timestep_schedule: str = "uniform"
+    # fused Pallas denoiser chain (ops/fused_denoiser.py); guards inside the
+    # denoiser decide per-call whether it can apply
+    use_fused_denoiser: bool = True
     dtype: Optional[Any] = None
 
     def setup(self):
@@ -66,6 +69,7 @@ class DDIMDepthEstimateHead(nn.Module):
             channels_in=self.fpn_dim,
             channels_noise=self.depth_feature_dim,
             fuse=self.fuse,
+            use_fused=self.use_fused_denoiser,
             dtype=self.dtype,
         )
         self.schedule = DDIMSchedule(

