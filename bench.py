@@ -71,42 +71,41 @@ def main():
         train=False,
     )
 
-    @jax.jit
-    def forward(variables, batch, rng):
-        return model.apply(variables, batch, train=False, rngs={"diffusion": rng})[
-            "pred"
-        ]
+    # Steady-state throughput: n_iters full eval batches inside ONE executed
+    # program (lax.scan over independent diffusion keys). The axon relay adds
+    # a large FIXED cost per dispatched execution (~0.1 s plain XLA, ~0.3 s
+    # when the program contains Pallas custom calls) that a per-batch
+    # dispatch loop would mis-attribute to the model; amortizing inside one
+    # execution measures what the chip actually sustains. jnp.sum(pred) per
+    # iteration defeats DCE without staging n_iters full prediction maps.
+    n_iters = 10
 
-    def run_sync(i):
-        # hard host fetch: through the axon relay, block_until_ready() returns
-        # early - only a device->host copy actually synchronises (verified
-        # empirically; block-only timing over-reports throughput ~100x)
-        out = forward(variables, batch, jax.random.fold_in(key, i))
-        return float(out[0, 0, 0, 0])
+    @jax.jit
+    def forward_k(variables, batch, key):
+        def body(carry, i):
+            out = model.apply(
+                variables, batch, train=False,
+                rngs={"diffusion": jax.random.fold_in(key, i)},
+            )["pred"]
+            return carry, jnp.sum(out.astype(jnp.float32))
+        return jax.lax.scan(body, 0, jnp.arange(n_iters))[1]
 
     key = jax.random.PRNGKey(2)
-    for i in range(3):  # compile + warm-up to steady state
-        run_sync(100 + i)
+    sums = forward_k(variables, batch, key)
+    _ = float(sums[-1])  # compile + hard sync (relay: only fetches sync)
 
-    # steady-state serving pipeline: keep 2 batches in flight so the
-    # device->host result fetch (~35 ms through the relay) overlaps the next
-    # batch's compute; every result is still fully materialised on the host
-    n_iters = 10
-    t0 = time.perf_counter()
-    pending = []
-    for i in range(n_iters):
-        pending.append(forward(variables, batch, jax.random.fold_in(key, i)))
-        if len(pending) > 2:
-            _ = float(pending.pop(0)[0, 0, 0, 0])
-    for out in pending:
-        _ = float(out[0, 0, 0, 0])
-    dt = time.perf_counter() - t0
+    best_dt = float("inf")
+    for rep in range(2):
+        t0 = time.perf_counter()
+        sums = forward_k(variables, batch, jax.random.fold_in(key, rep))
+        _ = float(sums[-1])
+        best_dt = min(best_dt, time.perf_counter() - t0)
 
-    fps = n_iters * batch_size / dt
+    fps = n_iters * batch_size / best_dt
 
     # free the eval model/batch before the training bench (the training state
     # + bs4 remat activations alone are ~15 GB of the 16 GB HBM)
-    del variables, batch, pending, out
+    del variables, batch, sums
     try:
         train_metrics = bench_training(jax, cfg)
     except Exception as e:  # training bench is best-effort extra signal
