@@ -67,9 +67,8 @@ def _link_kernel(
     add_t,
     add_b,
     bias_ref,
-    y_ref,
-    ps_ref,
-    *,
+    *outs,
+    th: int,
     W: int,
     gn_in: bool,
     relu_in: bool,
@@ -77,6 +76,8 @@ def _link_kernel(
     has_bias: bool,
     emit_stats: bool,
 ):
+    y_ref = outs[0]
+    ps_ref = outs[1] if emit_stats else None
     t = pl.program_id(1)
     n_t = pl.num_programs(1)
     Wp = x_c.shape[2]
@@ -85,7 +86,7 @@ def _link_kernel(
 
     top = x_t[0]  # (1, Wp, Cin)
     bot = x_b[0]
-    vin = jnp.concatenate([top, x_c[0], bot], axis=0)  # (TH+2, Wp, Cin)
+    vin = jnp.concatenate([top, x_c[0], bot], axis=0)  # (th+2, Wp, Cin)
 
     if gn_in:
         a = aeff_ref[0, 0].astype(jnp.bfloat16)  # (Cin,)
@@ -104,27 +105,27 @@ def _link_kernel(
     col = jax.lax.broadcasted_iota(jnp.int32, (1, Wp, 1), 1)
     colmask = jnp.logical_and(col >= 1, col <= W).astype(jnp.bfloat16)
     vin = vin * colmask
-    row = jax.lax.broadcasted_iota(jnp.int32, (TH + 2, 1, 1), 0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (th + 2, 1, 1), 0)
     topmask = jnp.logical_or(t > 0, row > 0)
-    botmask = jnp.logical_or(t < n_t - 1, row < TH + 1)
+    botmask = jnp.logical_or(t < n_t - 1, row < th + 1)
     vin = vin * jnp.logical_and(topmask, botmask).astype(jnp.bfloat16)
 
     # Column taps: compute each tap's partial sum at UNSHIFTED positions and
     # rotate the f32 accumulator into place (Mosaic only supports 32-bit
     # rotates; rolling the bf16 input would need one rotate per (dr, dc)
     # anyway). Circular wrap-around lands in the masked border columns.
-    acc = jnp.zeros((TH, Wp, cout), jnp.float32)
+    acc = jnp.zeros((th, Wp, cout), jnp.float32)
     for dc in range(3):
-        part = jnp.zeros((TH * Wp, cout), jnp.float32)
+        part = jnp.zeros((th * Wp, cout), jnp.float32)
         for dr in range(3):
-            lhs = vin[dr : dr + TH].reshape(TH * Wp, cin)
+            lhs = vin[dr : dr + th].reshape(th * Wp, cin)
             part = part + jax.lax.dot_general(
                 lhs,
                 w_ref[dr, dc],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        part = part.reshape(TH, Wp, cout)
+        part = part.reshape(th, Wp, cout)
         # out[j] += w[:, dc] . in[j + dc - 1]  ==  acc += roll(part, 1 - dc)
         if dc == 0:
             part = pltpu.roll(part, 1, 1)
@@ -164,8 +165,13 @@ def _fused_link(
     """
     B, H, Wp, cin = x.shape
     cout = w.shape[3]
-    assert H % TH == 0, H
-    T = H // TH
+    # Small-channel links are per-program-overhead-bound (the matmuls are
+    # tiny); double the tile height when the f32 accumulator pair stays
+    # comfortably inside the VMEM budget. The big 256x256 links (and the
+    # condition-add link's three full-width streams) keep th=8.
+    th = 16 if (cin * cout <= 64 * 256 and not (add is not None) and H % 16 == 0) else TH
+    assert H % th == 0, H
+    T = H // th
     gn_in = aeff is not None
     has_add = add is not None
     has_bias = bias is not None
@@ -180,12 +186,12 @@ def _fused_link(
         beff = beff.reshape(B, 1, cin)
 
     row_spec_t = pl.BlockSpec(
-        (1, 1, Wp, cin), lambda b, t: (b, jnp.maximum(t * TH - 1, 0), 0, 0)
+        (1, 1, Wp, cin), lambda b, t: (b, jnp.maximum(t * th - 1, 0), 0, 0)
     )
     row_spec_b = pl.BlockSpec(
-        (1, 1, Wp, cin), lambda b, t: (b, jnp.minimum(t * TH + TH, H - 1), 0, 0)
+        (1, 1, Wp, cin), lambda b, t: (b, jnp.minimum(t * th + th, H - 1), 0, 0)
     )
-    center = pl.BlockSpec((1, TH, Wp, cin), lambda b, t: (b, t, 0, 0))
+    center = pl.BlockSpec((1, th, Wp, cin), lambda b, t: (b, t, 0, 0))
     dummy_vec = pl.BlockSpec((1, 1), lambda b, t: (0, 0))
 
     in_specs = [
@@ -215,21 +221,25 @@ def _fused_link(
     ]
 
     out_shape = [jax.ShapeDtypeStruct((B, H, Wp, cout), jnp.bfloat16)]
-    out_specs = [pl.BlockSpec((1, TH, Wp, cout), lambda b, t: (b, t, 0, 0))]
-    out_shape.append(jax.ShapeDtypeStruct((B, T, 2, cout), jnp.float32))
-    out_specs.append(pl.BlockSpec((1, 1, 2, cout), lambda b, t: (b, t, 0, 0)))
+    out_specs = [pl.BlockSpec((1, th, Wp, cout), lambda b, t: (b, t, 0, 0))]
+    if emit_stats:
+        out_shape.append(jax.ShapeDtypeStruct((B, T, 2, cout), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, 1, 2, cout), lambda b, t: (b, t, 0, 0))
+        )
 
     kern = functools.partial(
         _link_kernel,
+        th=th,
         W=W,
         gn_in=gn_in,
         relu_in=relu_in,
         has_add=has_add,
         has_bias=has_bias,
-        emit_stats=True,  # stats output always present; cheap when unused
+        emit_stats=emit_stats,
     )
     flops = 2 * B * H * Wp * 9 * cin * cout
-    y, ps = pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid=(B, T),
         in_specs=in_specs,
@@ -248,7 +258,9 @@ def _fused_link(
         ),
         interpret=interpret,
     )(*args)
-    return y, (ps if emit_stats else None)
+    if emit_stats:
+        return out[0], out[1]
+    return out[0], None
 
 
 def y_bytes(B, H, Wp, cout):
