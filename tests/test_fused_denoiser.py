@@ -65,37 +65,79 @@ def test_jnp_twin_matches_module():
     np.testing.assert_allclose(twin, ref, atol=0.06, rtol=0.05)
 
 
-def test_fused_custom_vjp_grads_match_module_autodiff():
-    """Gradients through fused_denoiser == autodiff of the flax module."""
-    from diffusiondepth_tpu.ops.fused_denoiser import _fused_denoiser_bwd
+def _chain_f32(params, lat, feat):
+    """Same chain math in f32: the gradient ORACLE. Any bf16 path (the twin's
+    autodiff or the Pallas backward kernels) should sit within bf16 noise."""
+    from diffusiondepth_tpu.ops.fused_denoiser import _chain_params
+
+    def conv(x, cp):
+        y = jax.lax.conv_general_dilated(
+            x, cp["kernel"].astype(jnp.float32), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + cp["bias"].astype(jnp.float32)[None, None, None, :]
+
+    def gn(x, gp):
+        b, c = x.shape[0], x.shape[-1]
+        xg = x.reshape(b, -1, 4, c // 4)
+        mean = xg.mean(axis=(1, 3), keepdims=True)
+        var = ((xg - mean) ** 2).mean(axis=(1, 3), keepdims=True)
+        xh = ((xg - mean) * jax.lax.rsqrt(var + 1e-5)).reshape(x.shape)
+        return (xh * gp["scale"][None, None, None, :]
+                + gp["bias"][None, None, None, :])
+
+    ne0, gn0, ne1, gn1, fa, fb, pr0, gn2, pr1, gn3 = _chain_params(params)
+    v1 = jax.nn.relu(gn(conv(lat.astype(jnp.float32), ne0), gn0))
+    ne = jax.nn.relu(gn(conv(v1, ne1), gn1))
+    u4 = conv(conv(feat.astype(jnp.float32) + ne, fa), fb)
+    v5 = jax.nn.relu(gn(conv(u4, pr0), gn2))
+    return jax.nn.relu(gn(conv(v5, pr1), gn3))
+
+
+def test_fused_backward_chain_as_accurate_as_twin_autodiff():
+    """The hand-written Pallas backward (fused_denoiser_bwd_chain) must sit
+    as close to the f32-autodiff oracle as autodiff of the bf16 jnp twin does
+    - for the latent/feat cotangents and every conv/GN parameter gradient."""
+    from diffusiondepth_tpu.ops.fused_denoiser import (
+        _jnp_chain,
+        fused_denoiser_bwd_chain,
+    )
 
     den, params, lat, cond, feat = _setup(seed=2)
     ct = jnp.asarray(
         np.random.RandomState(9).randn(*lat.shape) * 0.1, jnp.bfloat16
     )
+    _, vjp_tw = jax.vjp(_jnp_chain, params, lat, feat)
+    gP, gL, gF = vjp_tw(ct)
+    _, vjp32 = jax.vjp(_chain_f32, params, lat, feat)
+    oP, oL, oF = vjp32(ct.astype(jnp.float32))
+    dP, dL, dF = fused_denoiser_bwd_chain(params, lat, feat, ct,
+                                          interpret=True)
 
-    def module_loss(params, lat, feat_):
-        # feed feat via cond with a zeroed te to keep the same inputs
-        out = den.apply(
-            {"params": params}, lat, 100,
-            feat_ - params["time_embedding"]["embedding"][100][None, None, None, :].astype(feat_.dtype),
-        )
-        return jnp.sum(out.astype(jnp.float32) * ct.astype(jnp.float32))
+    def dist(a, b):
+        # RMS distance normalised by the oracle's RMS: robust to the handful
+        # of ReLU-kink subgradient flips bf16 forward noise causes (max-norm
+        # flags those O(1) single-element flips; an actual indexing/formula
+        # bug shows up as RMS of order 1)
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        return float(np.sqrt(np.mean((a - b) ** 2))
+                     / (np.sqrt(np.mean(b ** 2)) + 1e-8))
 
-    g_mod = jax.grad(module_loss, argnums=(1,))(params, lat, feat)[0]
-    # custom bwd: vjp of the jnp twin
-    dparams, dlat, dfeat = _fused_denoiser_bwd((params, lat, feat), ct)
-    g_mod = np.asarray(g_mod, np.float32)
-    dlat = np.asarray(dlat, np.float32)
-    scale = np.abs(g_mod).max() + 1e-6
-    # bf16 last-ulp differences flip ReLU-kink subgradients at a handful of
-    # elements; demand 99.5% within tight tolerance and boundedness overall
-    frac_bad = np.mean(np.abs(dlat - g_mod) / scale > 0.05)
-    assert frac_bad < 0.005, frac_bad
-    assert np.abs(dlat - g_mod).max() / scale < 0.5
-    # param grads exist and are finite for every conv/GN leaf
-    flat = jax.tree_util.tree_leaves(dparams)
-    assert all(np.isfinite(np.asarray(l, np.float32)).all() for l in flat)
+    # kernel chain no worse than 2x the twin's distance (+small abs slack)
+    assert dist(dL, oL) < 2 * dist(gL, oL) + 0.05, (dist(dL, oL), dist(gL, oL))
+    assert dist(dF, oF) < 2 * dist(gF, oF) + 0.05, (dist(dF, oF), dist(gF, oF))
+    o = {jax.tree_util.keystr(k): v
+         for k, v in jax.tree_util.tree_flatten_with_path(oP)[0]}
+    tw = {jax.tree_util.keystr(k): v
+          for k, v in jax.tree_util.tree_flatten_with_path(gP)[0]}
+    for k, v in jax.tree_util.tree_flatten_with_path(dP)[0]:
+        ks = jax.tree_util.keystr(k)
+        if "time_embedding" in ks:
+            assert np.all(np.asarray(v) == 0)
+            continue
+        dk, dt = dist(v, o[ks]), dist(tw[ks], o[ks])
+        assert dk < 2 * dt + 0.05, (ks, dk, dt)
+        assert np.isfinite(np.asarray(v, np.float32)).all(), ks
 
 
 def test_module_guard_falls_back_off_tpu():
