@@ -2,8 +2,10 @@
 
 File contract matches the reference BaseSummary (src/summary/__init__.py:33-75):
 ``loss_{mode}.txt`` / ``metric_{mode}.txt`` are truncated at construction and
-appended one line per epoch. Scalars additionally land in a jsonl history
-(the TensorBoard-event replacement).
+appended one line per epoch. Scalars land both in a grep-able jsonl history
+and in real TensorBoard event files (one per-mode writer, like the
+reference's ``SummaryWriter(log_dir=.../mode)``), written by the
+dependency-free encoder in ``tb_events.py``.
 """
 
 from __future__ import annotations
@@ -13,6 +15,8 @@ import os
 from typing import Optional, Sequence
 
 import numpy as np
+
+from .tb_events import EventFileWriter
 
 
 class BaseSummary:
@@ -33,12 +37,21 @@ class BaseSummary:
         open(self.f_loss, "w").close()
         open(self.f_metric, "w").close()
         open(self.f_scalars, "w").close()
+        self.writer = EventFileWriter(os.path.join(log_dir, mode))
 
     # ------------------------------------------------------------- scalars
     def add_scalar(self, tag: str, value: float, step: int):
         with open(self.f_scalars, "a") as f:
             f.write(json.dumps({"step": int(step), "tag": tag,
                                 "value": float(value)}) + "\n")
+        self.writer.add_scalar(tag, value, step)
+
+    def add_image(self, tag: str, image: np.ndarray, step: int):
+        """HWC uint8 image summary (reference add_image, NCHW there)."""
+        self.writer.add_image(tag, image, step)
+
+    def flush(self):
+        self.writer.flush()
 
     # -------------------------------------------------------------- accum
     def add(self, loss: Optional[np.ndarray] = None,

@@ -79,6 +79,7 @@ class Diffusion_DCbase_Summary(BaseSummary):
                 print(f"[summary] panel write failed: {e}")
 
         result = metric_mean
+        self.flush()
         self.reset()
         return result
 
@@ -103,6 +104,8 @@ class Diffusion_DCbase_Summary(BaseSummary):
         Image.fromarray(panel).save(
             os.path.join(img_dir, f"step_{global_step:06d}.png")
         )
+        # reference tag (diffusion_dcbase_summary.py:155)
+        self.add_image(self.mode + "/images", panel, global_step)
 
     # ---------------------------------------------------------------- save
     def make_dir(self, epoch: int, idx: int):

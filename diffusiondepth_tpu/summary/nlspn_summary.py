@@ -74,6 +74,7 @@ class NLSPNSummary(Diffusion_DCbase_Summary):
         Image.fromarray(panel).save(
             os.path.join(img_dir, f"step_{global_step:06d}.png")
         )
+        self.add_image(self.mode + "/images", panel, global_step)
 
     # --------------------------------------------------------------- save
     def _save_one(self, epoch: int, idx: int, sample: Dict, pred: np.ndarray,
