@@ -78,6 +78,10 @@ class Config:
     affinity_gamma: float = 0.5
     conf_prop: bool = True
     legacy: bool = False
+    # TPU extension: NLSPN propagation via the stencil-compiled path
+    # (ops/stencil_prop.py) — offsets clamped to this radius; 0 = exact
+    # bilinear-gather path (ops/deform_conv.py), ~100x slower on TPU
+    prop_stencil_radius: int = 6
 
     backbone_module: str = "mmbev_resnet"
     backbone_name: str = "mmbev_res18"
@@ -217,6 +221,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prop_time", type=int, default=d.prop_time)
     p.add_argument("--prop_kernel", type=int, default=d.prop_kernel)
     p.add_argument("--preserve_input", action="store_true", default=False)
+    p.add_argument("--prop_stencil_radius", type=int,
+                   default=d.prop_stencil_radius)
     p.add_argument("--affinity", type=str, default=d.affinity,
                    choices=("AS", "ASS", "TC", "TGASS"))
     p.add_argument("--affinity_gamma", type=float, default=d.affinity_gamma)

