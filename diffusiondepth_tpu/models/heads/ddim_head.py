@@ -155,18 +155,36 @@ class DDIMDepthEstimateHead(nn.Module):
         #  * the latent carry crosses the scan boundary flattened to
         #    (B, H, W*C): a 16-channel trailing dim pads 8x on TPU lanes
         #    (3 GB of padding for 0.4 GB of data)
+        #  * remat strategy: with the fused Pallas denoiser active, the
+        #    body is NOT remat'd — the denoiser's custom_vjp saves only
+        #    (hoisted cond, per-step latent, te vector) and its backward
+        #    recomputes its own intermediates, so full-body remat would just
+        #    replay the forward chain a third time (~190 ms per train step
+        #    at the flagship shape); only the scheduler update is
+        #    checkpointed (its elementwise residuals are steps x eps-sized
+        #    otherwise). The jnp denoiser path keeps full-body remat: its
+        #    autodiff residuals are six 256-ch maps per step (~20 GB).
+        fused = self.model.fused_active(h)
+
         def step_fn(mdl, x_flat, cond, xs):
             t, a_t, a_prev = xs
             x = x_flat.reshape(latent_shape)
             eps = mdl.model(x, t, cond).astype(jnp.float32)
-            x_prev, _ = schedule.step_from_alphas(
-                eps, x, a_t, a_prev,
-                eta=0.0, use_clipped_model_output=True,
-            )
+
+            def sched_update(eps, x, a_t, a_prev):
+                x_prev, _ = schedule.step_from_alphas(
+                    eps, x, a_t, a_prev,
+                    eta=0.0, use_clipped_model_output=True,
+                )
+                return x_prev
+
+            if fused:
+                sched_update = jax.checkpoint(sched_update)
+            x_prev = sched_update(eps, x, a_t, a_prev)
             return x_prev.reshape(b, h, w * c), (x_prev if vis else None)
 
         scan = nn.scan(
-            nn.remat(step_fn, prevent_cse=False),
+            step_fn if fused else nn.remat(step_fn, prevent_cse=False),
             variable_broadcast=["params", "batch_stats"],
             split_rngs={"params": False},
             in_axes=(nn.broadcast, 0),

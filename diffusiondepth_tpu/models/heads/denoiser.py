@@ -78,6 +78,24 @@ class ScheduledCNNRefine(nn.Module):
             )
         self.pred = _ConvGNBlock(64, self.channels_noise, dtype=self.dtype)
 
+    @staticmethod
+    def _on_tpu() -> bool:
+        import jax
+
+        return jax.default_backend() == "tpu"
+
+    def fused_active(self, latent_h: int) -> bool:
+        """True when a scalar-timestep call takes the fused Pallas chain —
+        the sampler keys its scan-remat strategy off this (ddim_head.py)."""
+        return (
+            self.use_fused
+            and self.fuse == "upsample_add"
+            and self.dtype == jnp.bfloat16
+            and latent_h % 8 == 0
+            and not self.is_initializing()
+            and self._on_tpu()
+        )
+
     def upsample_condition(self, cond: jnp.ndarray, latent_hw) -> jnp.ndarray:
         """Bring the condition map to latent resolution once, outside the scan.
 
@@ -101,29 +119,25 @@ class ScheduledCNNRefine(nn.Module):
         """
         te = self.time_embedding(jnp.asarray(t))
         scalar_t = te.ndim == 1
+
+        if scalar_t and self.fused_active(noisy_latent.shape[1]):
+            from ...ops.fused_denoiser import fused_denoiser
+
+            # cond and te stay separate through the custom_vjp so the
+            # sampling scan's saved residuals are (hoisted cond, vector te),
+            # not a stacked per-step sum (see fused_denoiser docstring)
+            te_b = jnp.broadcast_to(
+                te[None, :], (noisy_latent.shape[0], te.shape[-1])
+            )
+            return fused_denoiser(
+                self.variables["params"], noisy_latent, cond_latent, te_b
+            )
+
         if scalar_t:  # scalar timestep (sampling)
             te = te[None, None, None, :]
         else:  # per-sample timesteps (training loss)
             te = te[:, None, None, :]
         feat = cond_latent + te.astype(cond_latent.dtype)
-
-        import jax
-
-        if (
-            self.use_fused
-            and self.fuse == "upsample_add"
-            and self.dtype == jnp.bfloat16
-            and scalar_t
-            and noisy_latent.shape[1] % 8 == 0
-            and not self.is_initializing()
-            and jax.default_backend() == "tpu"  # Mosaic kernels; CPU tests
-            # and the virtual-device dryrun take the jnp path
-        ):
-            from ...ops.fused_denoiser import fused_denoiser
-
-            return fused_denoiser(
-                self.variables["params"], noisy_latent, feat
-            )
 
         ne = self.noise_embedding(noisy_latent)
         if self.fuse == "add":

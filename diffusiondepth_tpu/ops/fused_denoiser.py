@@ -443,8 +443,17 @@ def _jnp_chain(params, noisy_latent, feat):
 
 
 @jax.custom_vjp
-def fused_denoiser(params, noisy_latent, feat):
+def fused_denoiser(params, noisy_latent, cond, te):
     """Pallas forward / Pallas backward ScheduledCNNRefine application.
+
+    ``cond`` is the (B, h, w, C) condition map and ``te`` the (B, C) timestep
+    embedding; the denoiser condition is ``cond + te`` broadcast. They enter
+    SEPARATELY so that this op's saved residuals are (cond, te) rather than
+    their per-step sum: inside the sampling scan the condition is
+    loop-invariant (hoisted once by scan autodiff) and ``te`` is a vector,
+    which is what makes the non-remat sampler scan affordable
+    (models/heads/ddim_head.py _sample) — a saved per-step sum would stack
+    steps x 163 MB at the flagship train shape.
 
     Measured on v5e at the flagship KITTI latent (4, 176, 453, 256): forward
     8.4 ms vs 16.9 ms for the XLA lowering of the same chain (2.0x). The
@@ -452,23 +461,32 @@ def fused_denoiser(params, noisy_latent, feat):
     verified to sit as close to an f32-autodiff oracle as autodiff of the
     bf16 jnp twin does (tests/test_fused_denoiser.py).
     """
-    return fused_denoiser_apply(params, noisy_latent, feat)
+    feat = cond + te[:, None, None, :].astype(cond.dtype)
+    interpret = jax.default_backend() != "tpu"
+    return fused_denoiser_apply(params, noisy_latent, feat, interpret=interpret)
 
 
-def _fused_denoiser_fwd(params, noisy_latent, feat):
-    return fused_denoiser_apply(params, noisy_latent, feat), (
+def _fused_denoiser_fwd(params, noisy_latent, cond, te):
+    return fused_denoiser(params, noisy_latent, cond, te), (
         params,
         noisy_latent,
-        feat,
+        cond,
+        te,
     )
 
 
 def _fused_denoiser_bwd(res, ct):
-    params, noisy_latent, feat = res
+    params, noisy_latent, cond, te = res
+    feat = cond + te[:, None, None, :].astype(cond.dtype)
     interpret = jax.default_backend() != "tpu"
-    return fused_denoiser_bwd_chain(
+    dparams, dlat, dfeat = fused_denoiser_bwd_chain(
         params, noisy_latent, feat, ct, interpret=interpret
     )
+    # spatial sum as an MXU ones-dot (a jnp.sum-to-f32 over the big bf16 map
+    # would materialize the f32 convert; see GroupNorm note in CLAUDE.md)
+    b, hh, ww, c = dfeat.shape
+    dte = _sum_spatial_f32_local(dfeat.reshape(b, hh * ww, c)).astype(te.dtype)
+    return dparams, dlat, dfeat, dte
 
 
 # defvjp is wired at module end, after fused_denoiser_bwd_chain is defined.

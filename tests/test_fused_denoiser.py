@@ -140,6 +140,52 @@ def test_fused_backward_chain_as_accurate_as_twin_autodiff():
         assert np.isfinite(np.asarray(v, np.float32)).all(), ks
 
 
+def test_public_custom_vjp_split_cond_te():
+    """The public fused_denoiser takes (cond, te) SEPARATELY (so the sampler
+    scan's saved residuals stay small — see its docstring). Its forward must
+    equal the feat-based apply, and its VJP — including the dte spatial-sum
+    glue — must match autodiff of the jnp twin through feat = cond + te."""
+    from diffusiondepth_tpu.ops.fused_denoiser import fused_denoiser
+
+    den, params, lat, cond, feat = _setup(seed=5)
+    B = lat.shape[0]
+    te = params["time_embedding"]["embedding"][100]
+    te_b = jnp.broadcast_to(te[None, :], (B, te.shape[-1]))
+
+    out = fused_denoiser(params, lat, cond, te_b)
+    ref = fused_denoiser_apply(params, lat, feat, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                  np.asarray(ref, np.float32))
+
+    ct = jnp.asarray(
+        np.random.RandomState(11).randn(*lat.shape) * 0.1, jnp.bfloat16
+    )
+
+    def twin_split(params, lat, cond, te_b):
+        f = cond + te_b[:, None, None, :].astype(cond.dtype)
+        return _jnp_chain(params, lat, f)
+
+    _, vjp_k = jax.vjp(fused_denoiser, params, lat, cond, te_b)
+    _, vjp_t = jax.vjp(twin_split, params, lat, cond, te_b)
+    kP, kL, kC, kT = vjp_k(ct)
+    tP, tL, tC, tT = vjp_t(ct)
+
+    def dist(a, b):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        return float(np.sqrt(np.mean((a - b) ** 2))
+                     / (np.sqrt(np.mean(b ** 2)) + 1e-8))
+
+    # two bf16 paths around the same math: mutual RMS distance is bf16 +
+    # ReLU-kink noise (kernel-vs-f32-oracle accuracy is covered by
+    # test_fused_backward_chain_as_accurate_as_twin_autodiff); this test
+    # guards the split-args GLUE — wiring, shapes, and the dte reduction
+    assert dist(kL, tL) < 0.25, dist(kL, tL)
+    assert dist(kC, tC) < 0.25, dist(kC, tC)
+    # dte: ones-dot spatial reduction vs autodiff's broadcast-sum
+    assert kT.shape == tT.shape == (B, te.shape[-1])
+    assert dist(kT, tT) < 0.25, dist(kT, tT)
+
+
 def test_module_guard_falls_back_off_tpu():
     """On the CPU test platform the module must take the jnp path even with
     use_fused=True (the guard checks the backend), so results are identical
