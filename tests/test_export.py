@@ -90,6 +90,37 @@ def test_exported_artifact_runs_under_outer_jit(tmp_path):
     assert pred.shape == batch["gt"].shape
 
 
+def test_exported_artifact_shards_over_mesh():
+    """Data-parallel serving: the artifact retraces under jit with the batch
+    sharded over a mesh 'data' axis and params replicated; predictions match
+    the single-device call (the serving-host scale-out pattern — GSPMD
+    partitions the exported computation like any traced fn)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from diffusiondepth_tpu.parallel import create_mesh, shard_batch
+
+    cfg, model, variables, batch = _tiny_setup(B=8)
+    spec = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), batch
+    )
+    exported = export_predict(model, variables, spec)
+    rng = jax.random.PRNGKey(9)
+    want = np.asarray(exported.call(variables, batch, rng))
+
+    mesh = create_mesh("data:8")
+    repl = NamedSharding(mesh, P())
+    variables_r = jax.device_put(variables, repl)
+    batch_s = shard_batch(batch, mesh)
+
+    @jax.jit
+    def serve(v, b, r):
+        return exported.call(v, b, r)
+
+    got = serve(variables_r, batch_s, jax.device_put(rng, repl))
+    assert len(got.sharding.device_set) == 8, got.sharding
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-5)
+
+
 def test_export_tta_flip_parity(tmp_path):
     """The --tta artifact equals the flip-ensemble computed by hand."""
     cfg, model, variables, batch = _tiny_setup(tta=True, B=2)
