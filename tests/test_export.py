@@ -136,6 +136,27 @@ def test_export_tta_flip_parity(tmp_path):
     np.testing.assert_array_equal(got, want)
 
 
+def test_export_multi_platform_from_cpu_host(tmp_path):
+    """Cross-export: a ('cpu','tpu') artifact built on the CPU test host
+    (the off-device export workflow — possible because every custom kernel
+    is backend-guarded, so the lowering is pure StableHLO) still round-trips
+    and runs on the cpu leg."""
+    cfg, model, variables, batch = _tiny_setup()
+    spec = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), batch
+    )
+    exported = export_predict(model, variables, spec,
+                              platforms=["cpu", "tpu"])
+    assert exported.platforms == ("cpu", "tpu")
+    path = str(tmp_path / "xplat.jaxport")
+    save_exported(exported, path)
+    got = load_exported(path).call(variables, batch, jax.random.PRNGKey(1))
+    want = jax.jit(make_predict_fn(model))(
+        variables, batch, jax.random.PRNGKey(1)
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_export_cli_from_checkpoint(tmp_path):
     """CLI: checkpoint + args.json -> artifact file that reloads and runs."""
     from diffusiondepth_tpu.training.optim import make_optimizer
