@@ -151,6 +151,11 @@ class Config:
     # lowering of the sampler body on v5e. Per-call guards (bf16, scalar t,
     # H%8==0, 'upsample_add') fall back to the jnp path when not applicable.
     fused_denoiser: bool = True
+    # Override the head's pyramid channel spec (comma-separated ints), so a
+    # registered head can ride a different-width backbone of the same family
+    # (e.g. swin_tiny under the Swin-L ADDHAHI head). None = the head's
+    # reference channels.
+    head_in_channels: Optional[str] = None
     log_every: int = 50
     profile_dir: Optional[str] = None  # write a jax.profiler trace of steps 10-15
 
@@ -288,6 +293,9 @@ def build_parser() -> argparse.ArgumentParser:
                    action="store_false", default=True)
     p.add_argument("--no_fused_denoiser", dest="fused_denoiser",
                    action="store_false", default=True)
+    p.add_argument("--head_in_channels", type=str, default=None,
+                   help="comma-separated pyramid channels overriding the "
+                        "head's reference spec (e.g. 96,192,384,768)")
     return p
 
 

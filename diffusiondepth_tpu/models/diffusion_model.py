@@ -125,6 +125,9 @@ def build_model(cfg) -> nn.Module:
             if cfg.model_name == "Diffusion_DCx4base_"
             else None
         )
+        hic = getattr(cfg, "head_in_channels", None)
+        if isinstance(hic, str):
+            hic = tuple(int(c) for c in hic.split(","))
         return Diffusion_DCbase_Model(
             backbone_name=cfg.backbone_name,
             backbone_module=cfg.backbone_module,
@@ -133,6 +136,7 @@ def build_model(cfg) -> nn.Module:
             num_train_timesteps=cfg.num_train_timesteps,
             timestep_schedule=cfg.timestep_schedule,
             depth_transform_cfg=dt_cfg,
+            head_in_channels=hic,
             use_pallas=bool(getattr(cfg, "use_pallas", False))
             and cfg.backbone_module == "swin",
             remat_backbone=bool(getattr(cfg, "remat_backbone", True)),
