@@ -163,6 +163,12 @@ def train(args: Config):
             if cfg.profile_dir and epoch == start_epoch and i == 15:
                 jax.block_until_ready(loss)
                 jax.profiler.stop_trace()
+                try:  # device-time breakdown, inline (tools/analyze_trace.py)
+                    from .tools.analyze_trace import find_trace_file, summarize
+
+                    print(summarize(find_trace_file(cfg.profile_dir), top=20))
+                except Exception as e:  # the trace itself is still on disk
+                    print(f"(trace written; summary failed: {e})")
             if i % cfg.log_every == 0:
                 print(
                     f"epoch {epoch} step {i}/{steps_per_epoch} "
