@@ -71,12 +71,14 @@ def _link_kernel(
     add_t,
     add_b,
     bias_ref,
+    te_ref,
     *outs,
     th: int,
     W: int,
     gn_in: bool,
     relu_in: bool,
     has_add: bool,
+    has_te: bool,
     has_bias: bool,
     emit_stats: bool,
 ):
@@ -101,6 +103,12 @@ def _link_kernel(
 
     if has_add:
         vadd = jnp.concatenate([add_t[0], add_c[0], add_b[0]], axis=0)
+        if has_te:
+            # per-(batch, channel) vector folded into the add: the caller's
+            # condition map is loop-invariant inside the sampler scan while
+            # the timestep embedding is a vector, so fusing the +te here
+            # avoids materializing a full (cond + te) map every step
+            vadd = vadd + te_ref[0, 0].astype(jnp.bfloat16)[None, None, :]
         vin = vin + vadd
 
     # zero everything outside the valid image region AFTER the affine: the
@@ -157,14 +165,16 @@ def _fused_link(
     beff=None,
     relu_in: bool = False,
     add=None,
+    te=None,
     bias=None,
     emit_stats: bool = False,
     interpret: bool = False,
 ):
-    """One chain link: y = conv3x3(maybe(relu(gn_affine(x))) + maybe(add)) + b.
+    """One chain link: y = conv3x3(maybe(relu(gn_affine(x))) + maybe(add+te)) + b.
 
     x, add: (B, H, Wp, Cin) bf16 padded layout (valid cols [1, W+1));
-    w: (3, 3, Cin, Cout); aeff/beff: (B, Cin) f32; bias: (Cout,) or (B, Cout).
+    w: (3, 3, Cin, Cout); aeff/beff: (B, Cin) f32; bias: (Cout,) or (B, Cout);
+    te: (B, Cin) per-batch vector folded into the add (requires add).
     Returns (y, partial_stats or None); y is (B, H, Wp, Cout) padded layout.
     """
     B, H, Wp, cin = x.shape
@@ -178,6 +188,8 @@ def _fused_link(
     T = H // th
     gn_in = aeff is not None
     has_add = add is not None
+    has_te = te is not None
+    assert not (has_te and not has_add), "te requires add"
     has_bias = bias is not None
     if has_bias and bias.ndim == 1:
         bias = jnp.broadcast_to(bias[None, :], (B, cout))
@@ -188,6 +200,8 @@ def _fused_link(
     if gn_in:
         aeff = aeff.reshape(B, 1, cin)
         beff = beff.reshape(B, 1, cin)
+    if has_te:
+        te = te.astype(jnp.float32).reshape(B, 1, cin)
 
     row_spec_t = pl.BlockSpec(
         (1, 1, Wp, cin), lambda b, t: (b, jnp.maximum(t * th - 1, 0), 0, 0)
@@ -209,6 +223,7 @@ def _fused_link(
         row_spec_t if has_add else dummy_vec,
         row_spec_b if has_add else dummy_vec,
         pl.BlockSpec((1, 1, cout), lambda b, t: (b, 0, 0)) if has_bias else dummy_vec,
+        pl.BlockSpec((1, 1, cin), lambda b, t: (b, 0, 0)) if has_te else dummy_vec,
     ]
     zero = jnp.zeros((1, 1), jnp.float32)
     args = [
@@ -222,6 +237,7 @@ def _fused_link(
         add if has_add else zero,
         add if has_add else zero,
         bias if has_bias else zero,
+        te if has_te else zero,
     ]
 
     out_shape = [jax.ShapeDtypeStruct((B, H, Wp, cout), jnp.bfloat16)]
@@ -239,6 +255,7 @@ def _fused_link(
         gn_in=gn_in,
         relu_in=relu_in,
         has_add=has_add,
+        has_te=has_te,
         has_bias=has_bias,
         emit_stats=emit_stats,
     )
@@ -327,12 +344,17 @@ def _chain_params(variables):
 
 
 def fused_denoiser_apply(
-    variables, noisy_latent, feat, *, interpret=False, keep_intermediates=False
+    variables, noisy_latent, cond, te=None, *, interpret=False,
+    keep_intermediates=False
 ):
     """Pallas forward of ScheduledCNNRefine for fuse='upsample_add'.
 
     variables: the module's ``params`` subtree; noisy_latent: (B, H, W, 16);
-    feat: (B, H, W, C) condition + timestep embedding, already fused.
+    cond: (B, H, W, C) condition map; te: optional (B, C) timestep-embedding
+    vector. With te=None, ``cond`` must already hold cond + te broadcast;
+    passing them split keeps the full-map sum from ever materializing — the
+    +te lands inside the add-link kernel on the VMEM-resident tile, and the
+    pad of ``cond`` is loop-invariant inside the sampler scan (XLA hoists it).
     Exact same math as the flax module (models/heads/denoiser.py:90-116).
     With keep_intermediates, also returns the padded pre-norm conv outputs
     and per-GN statistics the backward kernel chain needs.
@@ -344,7 +366,7 @@ def fused_denoiser_apply(
     bf = jnp.bfloat16
 
     x = _pad_w(noisy_latent.astype(bf), Wp)
-    featp = _pad_w(feat.astype(bf), Wp)
+    condp = _pad_w(cond.astype(bf), Wp)
 
     def w_of(cp):
         return cp["kernel"].astype(bf)
@@ -368,10 +390,10 @@ def fused_denoiser_apply(
     c256 = u2.shape[-1]
     g1 = _gn_affine_from_partials(ps2, *gn_ab(gn1), 4, H * W * (c256 // 4))
 
-    # fuse: conv_a(feat + relu(gn(u2))), then conv_b
+    # fuse: conv_a(cond + te + relu(gn(u2))), then conv_b
     u3, _ = lk(
-        u2, w_of(fa), aeff=g1[0], beff=g1[1], relu_in=True, add=featp,
-        bias=b_of(fa),
+        u2, w_of(fa), aeff=g1[0], beff=g1[1], relu_in=True, add=condp,
+        te=te, bias=b_of(fa),
     )
     u4, _ = lk(u3, w_of(fb), bias=b_of(fb))
 
@@ -389,7 +411,7 @@ def fused_denoiser_apply(
     out = out[:, :, 1 : W + 1, :]
     if keep_intermediates:
         inter = {
-            "x": x, "featp": featp,
+            "x": x, "condp": condp, "te": te,
             "u1": u1, "u2": u2, "u3": u3, "u4": u4, "u5": u5, "u6": u6,
             "g0": g0, "g1": g1, "g2": g2, "g3": g3,  # (aeff, beff, inv, mean)
         }
@@ -461,9 +483,10 @@ def fused_denoiser(params, noisy_latent, cond, te):
     verified to sit as close to an f32-autodiff oracle as autodiff of the
     bf16 jnp twin does (tests/test_fused_denoiser.py).
     """
-    feat = cond + te[:, None, None, :].astype(cond.dtype)
     interpret = jax.default_backend() != "tpu"
-    return fused_denoiser_apply(params, noisy_latent, feat, interpret=interpret)
+    return fused_denoiser_apply(
+        params, noisy_latent, cond, te, interpret=interpret
+    )
 
 
 def _fused_denoiser_fwd(params, noisy_latent, cond, te):
@@ -477,10 +500,9 @@ def _fused_denoiser_fwd(params, noisy_latent, cond, te):
 
 def _fused_denoiser_bwd(res, ct):
     params, noisy_latent, cond, te = res
-    feat = cond + te[:, None, None, :].astype(cond.dtype)
     interpret = jax.default_backend() != "tpu"
     dparams, dlat, dfeat = fused_denoiser_bwd_chain(
-        params, noisy_latent, feat, ct, interpret=interpret
+        params, noisy_latent, cond, ct, te=te, interpret=interpret
     )
     # spatial sum as an MXU ones-dot (a jnp.sum-to-f32 over the big bf16 map
     # would materialize the f32 convert; see GroupNorm note in CLAUDE.md)
@@ -509,12 +531,14 @@ def _bwd_link_kernel(
     u_ref,
     a_ref,
     cin_ref,
+    te_ref,
     *outs,
     th: int,
     W: int,
     gn_next: bool,
     gn_in: bool,
     has_add: bool,
+    has_te: bool,
 ):
     """Backward of one chain link u_out = conv(g(u_in) [+ add]) + bias.
 
@@ -582,6 +606,8 @@ def _bwd_link_kernel(
         v = u
     if has_add:
         v = v + a_ref[0]
+        if has_te:
+            v = v + te_ref[0, 0].astype(bf)[None, None, :]
     v = v * colmask.astype(bf)
     v2 = v.reshape(th * Wp, cin)
 
@@ -670,6 +696,7 @@ def _bwd_link(
     coef_next=None,
     coef_in=None,
     add=None,
+    te=None,
     interpret: bool = False,
 ):
     """Run the backward kernel for one link.
@@ -691,6 +718,10 @@ def _bwd_link(
     gn_next = u_next is not None
     gn_in = coef_in is not None
     has_add = add is not None
+    has_te = te is not None
+    assert not (has_te and not has_add), "te requires add"
+    if has_te:
+        te = te.astype(jnp.float32).reshape(B, 1, cin)
     wt = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2)).astype(jnp.bfloat16)
 
     def c_spec(c):
@@ -723,6 +754,7 @@ def _bwd_link(
         c_spec(cin),
         c_spec(cin) if has_add else dummy,
         coefspec(cin) if gn_in else dummy,
+        pl.BlockSpec((1, 1, cin), lambda b, t: (b, 0, 0)) if has_te else dummy,
     ]
     args = [
         r,
@@ -736,6 +768,7 @@ def _bwd_link(
         u_in,
         add if has_add else zero,
         coef_in if gn_in else zero,
+        te if has_te else zero,
     ]
 
     out_shape = [
@@ -762,6 +795,7 @@ def _bwd_link(
         gn_next=gn_next,
         gn_in=gn_in,
         has_add=has_add,
+        has_te=has_te,
     )
     flops = 3 * 2 * B * H * Wp * 9 * cin * cout
     outs = pl.pallas_call(
@@ -826,17 +860,21 @@ def _gn_bwd_glue(ps, scale, invc, meanc, num_groups, n_group):
     return coefs, dscale, dbias
 
 
-def fused_denoiser_bwd_chain(params, noisy_latent, feat, ct, *, interpret=False):
+def fused_denoiser_bwd_chain(params, noisy_latent, cond, ct, *, te=None,
+                             interpret=False):
     """Hand-written backward of the fused chain: recompute the Pallas forward
     (keeping pre-norm maps + GN stats), then run one backward kernel per link
-    back up the chain. Returns (dparams, dlat, dfeat) matching jax.vjp of
-    ``_jnp_chain`` up to bf16 rounding."""
+    back up the chain. ``cond``/``te`` as in fused_denoiser_apply (te=None
+    means cond already holds the full fused condition). Returns
+    (dparams, dlat, dcond) matching jax.vjp of ``_jnp_chain`` up to bf16
+    rounding; d(te) is the spatial sum of dcond (the caller derives it)."""
     ne0, gn0, ne1, gn1, fa, fb, pr0, gn2, pr1, gn3 = _chain_params(params)
     B, H, W, cin16 = noisy_latent.shape
     Wp = _round_up(W + 2, 16)
     bf = jnp.bfloat16
     out, it = fused_denoiser_apply(
-        params, noisy_latent, feat, interpret=interpret, keep_intermediates=True
+        params, noisy_latent, cond, te, interpret=interpret,
+        keep_intermediates=True,
     )
     c64 = it["u1"].shape[-1]
     c256 = it["u2"].shape[-1]
@@ -895,10 +933,10 @@ def fused_denoiser_bwd_chain(params, noisy_latent, feat, ct, *, interpret=False)
     )
     # link 4: u4 = fb(u3)
     t3, dw_fb, db_fb, _, _ = blk(t4, fb["kernel"], it["u3"])
-    # link 3: u3 = fa(relu(gn1(u2)) + feat)
+    # link 3: u3 = fa(relu(gn1(u2)) + cond + te)
     t2, dw_fa, db_fa, ps2, dfeat_p = blk(
         t3, fa["kernel"], it["u2"],
-        coef_in=coef_in_of(it["g1"], gn1), add=it["featp"],
+        coef_in=coef_in_of(it["g1"], gn1), add=it["condp"], te=it["te"],
     )
     coefs2, dscale1, dbias1 = _gn_bwd_glue(
         ps2, gn1["scale"].astype(jnp.float32), it["g1"][2], it["g1"][3], 4, n256
@@ -917,7 +955,7 @@ def fused_denoiser_bwd_chain(params, noisy_latent, feat, ct, *, interpret=False)
     )
 
     dlat = t0[:, :, 1 : W + 1, :].astype(noisy_latent.dtype)
-    dfeat = dfeat_p[:, :, 1 : W + 1, :].astype(feat.dtype)
+    dfeat = dfeat_p[:, :, 1 : W + 1, :].astype(cond.dtype)
 
     def cgrad(cp, dw, db):
         return {
