@@ -191,4 +191,14 @@ def bench_training(jax, cfg):
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # e.g. TPU tunnel outage: still emit one JSON line
+        print(json.dumps({
+            "metric": f"KITTI {H}x{W} inference, {STEPS} DDIM steps (FAILED)",
+            "value": 0.0,
+            "unit": "frames/sec/chip",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}",
+        }))
+        sys.exit(1)
