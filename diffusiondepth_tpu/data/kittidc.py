@@ -24,9 +24,23 @@ from . import transforms as T
 
 
 def read_depth(file_name: str) -> np.ndarray:
-    """16-bit PNG -> meters (/256) (reference :71-82)."""
+    """16-bit PNG -> meters (/256) (reference :71-82).
+
+    Decoded by the native zlib-based reader (native/depthops.cpp
+    decode_png_gray16 — the loader reads two such files per sample, and PIL
+    routes every scanline through Python objects); falls back to PIL for
+    anything outside the strict 16-bit-grayscale KITTI format."""
     assert os.path.exists(file_name), f"file not found: {file_name}"
-    image_depth = np.array(Image.open(file_name))
+    image_depth = None
+    try:
+        from ..native import depthops
+
+        with open(file_name, "rb") as f:
+            image_depth = depthops.decode_png_gray16(f.read())
+    except Exception:
+        image_depth = None
+    if image_depth is None:
+        image_depth = np.array(Image.open(file_name))
     assert (np.max(image_depth) == 0) or (np.max(image_depth) > 255), (
         f"np.max(depth_png)={np.max(image_depth)}, path={file_name}"
     )

@@ -40,6 +40,13 @@ def _load() -> Optional[ctypes.CDLL]:
         fp, fp, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64
     ]
     lib.simple_depth_completion_batch.restype = None
+    lib.decode_png_gray16.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.c_int64,
+    ]
+    lib.decode_png_gray16.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -60,6 +67,26 @@ def simple_depth_completion(depth: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         canvas.ctypes.data_as(fp), dist.ctypes.data_as(fp), h, w
     )
     return canvas, dist
+
+
+def decode_png_gray16(data: bytes) -> Optional[np.ndarray]:
+    """16-bit grayscale PNG bytes -> (H, W) uint16, or None when the file is
+    not in the strict KITTI depth format (caller falls back to PIL). The
+    dims come from the IHDR (offset 16/20, big-endian)."""
+    lib = _load()
+    if lib is None or len(data) < 33:
+        return None
+    w = int.from_bytes(data[16:20], "big")
+    h = int.from_bytes(data[20:24], "big")
+    if w <= 0 or h <= 0 or w * h > 2**28:
+        return None
+    out = np.empty((h, w), np.uint16)
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    rc = lib.decode_png_gray16(
+        buf, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), h * w,
+    )
+    return out if rc == 0 else None
 
 
 def simple_depth_completion_batch(depth: np.ndarray) -> np.ndarray:
