@@ -10,6 +10,7 @@ the CPU test platform and pin the CLI end to end.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from diffusiondepth_tpu.config import Config
 from diffusiondepth_tpu.models import build_model
@@ -134,6 +135,45 @@ def test_export_tta_flip_parity(tmp_path):
         jax.jit(make_predict_fn(model, tta_flip=True))(variables, batch, rng)
     )
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("model_name", ["Diffusion_DCx4base_", "NLSPN"])
+def test_export_other_model_families(tmp_path, model_name):
+    """The export path is model-agnostic: the x4 (quarter-res latent
+    transform) and legacy NLSPN families round-trip too."""
+    B, H, W = 1, 32, 48
+    cfg = Config(
+        model_name=model_name,
+        backbone_module="mmbev_resnet",
+        backbone_name="mmbev_res18",
+        head_specify="DDIMDepthEstimate_Res",
+        inference_steps=2,
+        batch_size=B,
+        max_depth=88.0,
+    ).finalize()
+    model = build_model(cfg)
+    rng = np.random.RandomState(1)
+    gt = np.clip(rng.rand(B, H, W, 1) * 80 + 1, 0, 88).astype(np.float32)
+    batch = {
+        "rgb": jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32)),
+        "dep": jnp.asarray(gt * (rng.rand(B, H, W, 1) > 0.8)),
+        "gt": jnp.asarray(gt),
+        "depth_map": jnp.asarray(gt),
+        "depth_mask": jnp.ones((B, H, W, 1), jnp.float32),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        batch, train=False,
+    )
+    spec = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), batch
+    )
+    exported = export_predict(model, variables, spec)
+    path = str(tmp_path / f"{model_name}.jaxport")
+    save_exported(exported, path)
+    pred = load_exported(path).call(variables, batch, jax.random.PRNGKey(2))
+    assert np.asarray(pred).shape == (B, H, W, 1)
+    assert np.isfinite(np.asarray(pred)).all()
 
 
 def test_export_multi_platform_from_cpu_host(tmp_path):
