@@ -4,6 +4,7 @@ Reuses the synthetic reference-layout state dict from the full-model
 converter test."""
 
 import numpy as np
+import pytest
 import torch
 
 from test_convert_full_model import _synth_reference_sd
@@ -12,6 +13,7 @@ from diffusiondepth_tpu.tools.convert_checkpoint import main as convert_main
 from diffusiondepth_tpu.utils.checkpoint import load_checkpoint
 
 
+@pytest.mark.slow
 def test_convert_cli_end_to_end(tmp_path):
     sd = _synth_reference_sd()  # swin-tiny + ADDHAHI layout
     pt = str(tmp_path / "model_00022.pt")

@@ -120,6 +120,7 @@ def _synth_reference_sd(depths=(2, 2, 6, 2), dims=(96, 192, 384, 768),
     return sd
 
 
+@pytest.mark.slow
 def test_full_model_conversion_roundtrip():
     cfg = Config(
         model_name="Diffusion_DCbase_", backbone_module="swin",

@@ -8,6 +8,7 @@ import flax
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -216,6 +217,7 @@ def _tiny_mpvit(**kw):
                  drop_path_rate=0.0, **kw)
 
 
+@pytest.mark.slow
 def test_mpvit_conversion_matches_torch_math():
     sd = _synth_mpvit_sd()
     x = RNG.randn(1, 3, 16, 24).astype(np.float32)
@@ -422,6 +424,7 @@ def torch_nlspn_heads(sd, rgb, dep):
     return pred_init, guide, conf
 
 
+@pytest.mark.slow
 def test_nlspn_conversion_matches_torch_math():
     cfg = Config(
         model_name="NLSPN", network="resnet18", prop_time=2, prop_kernel=3,

@@ -50,6 +50,7 @@ def test_seed_variation_is_nonzero(report):
     assert any(s > 0 for s in spreads)
 
 
+@pytest.mark.slow
 def test_parity_verdict_against_reference_values(tmp_path):
     cfg = Config(
         data_name="Synthetic",

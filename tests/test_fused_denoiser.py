@@ -93,6 +93,7 @@ def _chain_f32(params, lat, feat):
     return jax.nn.relu(gn(conv(v5, pr1), gn3))
 
 
+@pytest.mark.slow
 def test_fused_backward_chain_as_accurate_as_twin_autodiff():
     """The hand-written Pallas backward (fused_denoiser_bwd_chain) must sit
     as close to the f32-autodiff oracle as autodiff of the bf16 jnp twin does
@@ -140,6 +141,7 @@ def test_fused_backward_chain_as_accurate_as_twin_autodiff():
         assert np.isfinite(np.asarray(v, np.float32)).all(), ks
 
 
+@pytest.mark.slow
 def test_public_custom_vjp_split_cond_te():
     """The public fused_denoiser takes (cond, te) SEPARATELY (so the sampler
     scan's saved residuals stay small — see its docstring). Its forward must

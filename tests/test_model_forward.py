@@ -81,6 +81,7 @@ def test_eval_deterministic_given_rng(res18_model_and_vars):
     np.testing.assert_array_equal(np.asarray(o1["pred"]), np.asarray(o2["pred"]))
 
 
+@pytest.mark.slow
 def test_train_step_gradients_flow(res18_model_and_vars):
     cfg, model, variables, sample = res18_model_and_vars
     loss_computer = LossComputer(cfg)
@@ -163,6 +164,7 @@ def test_bins_head_and_biased_schedule_forward():
     assert np.all(np.isfinite(p))
 
 
+@pytest.mark.slow
 def test_mpvit_addhahi_end_to_end():
     """mpvit_small + DDIMDepthEstimate_MPVIT_ADDHAHI composition: the head's
     channel spec (128,216,288,288) must match the backbone pyramid

@@ -19,6 +19,7 @@ from diffusiondepth_tpu.models.backbones.mpvit import (
 )
 
 
+@pytest.mark.slow
 def test_mpvit_small_pyramid_shapes():
     model = mpvit_small()
     x = jnp.zeros((1, 64, 96, 3))

@@ -106,6 +106,7 @@ def test_zero_init_propagation_is_identity(nlspn_out):
     np.testing.assert_allclose(np.delete(aff, 4, axis=-1), 0.0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_nlspn_trains_one_step(nlspn_out):
     cfg, sample, out = nlspn_out
     from diffusiondepth_tpu.losses import LossComputer

@@ -69,6 +69,7 @@ def test_lr_warmup_epoch_one():
     assert np.isclose(float(sched(10)), 0.001)  # epoch 2: full lr
 
 
+@pytest.mark.slow
 def test_data_parallel_train_step_runs_and_matches_single_device():
     """One sharded train step over the 8-device mesh; loss must equal the
     single-device computation on the identical global batch."""
@@ -97,6 +98,7 @@ def test_data_parallel_train_step_runs_and_matches_single_device():
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=3e-4)
 
 
+@pytest.mark.slow
 def test_gradient_accumulation_matches_manual_micro_batches():
     """accum_steps=2 must equal: forward/backward each half sequentially
     (threading BatchNorm batch_stats), sum the gradients, divide by the
@@ -157,6 +159,7 @@ def test_gradient_accumulation_matches_manual_micro_batches():
     assert np.isfinite(np.asarray(mv_acc)).all()
 
 
+@pytest.mark.slow
 def test_gradient_accumulation_sharded():
     """accum under the 8-device data-parallel mesh: each micro-batch still
     shards over 'data'; loss matches the unsharded accumulation."""
@@ -189,6 +192,7 @@ def test_eval_step_sharded():
     assert np.isfinite(np.asarray(metrics)).all()
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import sys
     from pathlib import Path
@@ -223,6 +227,7 @@ def test_split_backbone_training_lr():
     np.testing.assert_allclose(bb_leaf, 0.1 * head_leaf, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_tensor_parallel_2d_mesh_step():
     """data:4,model:2 mesh: large params shard over 'model', batch over
     'data'; one train step runs and matches the data-parallel loss."""

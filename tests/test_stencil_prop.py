@@ -129,6 +129,7 @@ def test_gradients_match_gather_path():
         )
 
 
+@pytest.mark.slow
 def test_nlspn_model_stencil_matches_exact_path():
     """Full NLSPN forward: default stencil propagation == radius-0 exact
     gather propagation, with a perturbed (non-zero) offset/affinity conv so

@@ -10,6 +10,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # 5-min module fixture (full train run)
+
 from diffusiondepth_tpu.config import Config
 from diffusiondepth_tpu.main import test as run_test, train as run_train
 from diffusiondepth_tpu.metrics import METRIC_NAMES

@@ -33,6 +33,7 @@ def test_hflip_batch_mirrors_images_only():
     np.testing.assert_array_equal(np.asarray(flipped["K"]), np.asarray(batch["K"]))
 
 
+@pytest.mark.slow
 def test_tta_eval_runs_and_averages():
     cfg = Config(
         model_name="Diffusion_DCbase_", backbone_module="mmbev_resnet",
