@@ -712,7 +712,12 @@ def _bwd_link(
     """
     B, H, Wp, cout = r.shape
     cin = u_in.shape[3]
-    th = TH
+    # mirror the forward tile rule: the small-channel links are
+    # per-program-overhead-bound, so double the tile height when the f32
+    # accumulator + dw-resident block stay inside the VMEM budget. The
+    # 256x256 links and the add-link (three extra full-width streams plus
+    # the d(add) output) keep th=8.
+    th = 16 if (cin * cout <= 64 * 256 and add is None and H % 16 == 0) else TH
     assert H % th == 0, H
     T = H // th
     gn_next = u_next is not None
