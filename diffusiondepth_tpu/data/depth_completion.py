@@ -95,3 +95,109 @@ def simple_depth_completion(depth: np.ndarray):
     if native is not None:
         return native.simple_depth_completion(depth)
     return simple_depth_completion_numpy(depth)
+
+
+# --------------------------------------------------------------- noise filters
+# Equivalents of the reference's sparse-LiDAR noise filters
+# (src/model/ops/depth_map_proc.py:55-113).  All of them densify the sparse
+# map first, then invalidate (set to -1) sparse returns that sit *behind* the
+# local foreground surface when scanning each column top-to-bottom — LiDAR
+# points seen "through" a nearer object are noise.  Dead code in the reference
+# (nothing calls them), ported for capability parity.  Sequential only along
+# the row axis; vectorised across columns (the reference parallelises across
+# columns with numba prange, so column independence is guaranteed).
+
+
+def simple_noise_filter(
+    sparse_depth_map: np.ndarray,
+    lambda_: float = 1.5,
+    max_age_ratio: float = 60,
+    max_depth: float = 1e9,
+) -> np.ndarray:
+    """Age-based occlusion noise filter (reference :82-101).
+
+    Top-to-bottom per column: track the foreground depth ``pre``; a pixel
+    whose densified depth exceeds ``pre * lambda_`` is occluded — its sparse
+    return (if any) is dropped and an age counter ticks; once the age exceeds
+    a depth-scaled budget the tracker resets so a genuinely new far surface
+    can take over.
+    """
+    sparse = sparse_depth_map.astype(np.float32).copy()
+    dense, _ = simple_depth_completion(sparse)
+    rows, cols = sparse.shape
+    pre = np.full((cols,), max_depth, np.float32)
+    age = np.zeros((cols,), np.float32)
+    for r in range(rows):
+        d = dense[r]
+        keep = d <= pre * lambda_
+        has_return = sparse[r] >= 0
+        drop = (~keep) & has_return
+        # max_age = max(1, max_age_ratio / max(d, 1)) — nearer occluders
+        # get a longer budget before the tracker resets.
+        max_age = np.maximum(1.0, max_age_ratio / np.maximum(d, 1.0))
+        sparse[r] = np.where(drop, -1.0, sparse[r])
+        age = np.where(drop, age + 1, np.where(keep, 0.0, age))
+        reset = drop & (age >= max_age)
+        pre = np.where(keep, d, pre)
+        pre = np.where(reset, max_depth, pre)
+        age = np.where(reset, 0.0, age)
+    return sparse
+
+
+def simple_noise_filter_0(sparse_depth_map: np.ndarray) -> np.ndarray:
+    """Strict monotone filter (reference :55-66): drop any pixel whose
+    densified depth exceeds the running column minimum above it."""
+    sparse = sparse_depth_map.astype(np.float32).copy()
+    dense, _ = simple_depth_completion(sparse)
+    # pre only updates on d <= pre, so pre == running column minimum.
+    runmin = np.minimum.accumulate(dense, axis=0)
+    sparse[1:] = np.where(dense[1:] > runmin[:-1], -1.0, sparse[1:])
+    return sparse
+
+
+def simple_noise_filter_2(
+    sparse_depth_map: np.ndarray, thresh: float = 0.6
+) -> np.ndarray:
+    """Thresholded monotone filter (reference :68-79): like filter_0 but the
+    tracker follows any step within ``thresh`` (so it can move backwards)."""
+    sparse = sparse_depth_map.astype(np.float32).copy()
+    dense, _ = simple_depth_completion(sparse)
+    rows, _ = sparse.shape
+    pre = dense[0].copy()
+    for r in range(1, rows):
+        follow = dense[r] <= pre + thresh
+        sparse[r] = np.where(follow, sparse[r], -1.0)
+        pre = np.where(follow, dense[r], pre)
+    return sparse
+
+
+def _erode_vertical(img: np.ndarray, size: int, border: float) -> np.ndarray:
+    """cv2.erode with a MORPH_RECT (width 1, height ``size``) kernel and a
+    constant border: per-pixel min over the vertical footprint, anchor at
+    ``size // 2``, out-of-bounds rows contributing ``border``."""
+    rows = img.shape[0]
+    anchor = size // 2
+    out = img.copy()
+    for k in range(size):
+        off = k - anchor
+        shifted = np.full_like(img, border)
+        if off >= 0:
+            if off < rows:
+                shifted[: rows - off] = img[off:]
+        else:
+            if -off < rows:
+                shifted[-off:] = img[: rows + off]
+        out = np.minimum(out, shifted)
+    return out
+
+
+def simple_noise_filter_3(
+    sparse_depth_map: np.ndarray, size: int = 3, thresh: float = 1.5
+) -> np.ndarray:
+    """Morphological filter (reference :103-113): drop sparse returns more
+    than ``thresh`` behind a vertical min-filtered (eroded) dense map."""
+    sparse = sparse_depth_map.astype(np.float32).copy()
+    dense, _ = simple_depth_completion(sparse)
+    eroded = _erode_vertical(dense, size, border=-1.0)
+    drop = (sparse >= 0) & (sparse > eroded + thresh)
+    return np.where(drop, -1.0, sparse)

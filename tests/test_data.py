@@ -198,6 +198,146 @@ def test_scanline_completion_empty_input():
     np.testing.assert_array_equal(out, 0)
 
 
+# ------------------------------------------------------------- noise filters
+# Literal ports of the reference's sparse-LiDAR noise filters
+# (depth_map_proc.py:55-113), pure python, for parity testing.
+
+
+def _ref_noise_filter(sparse, lambda_=1.5, max_age_ratio=60, max_depth=1e9):
+    sparse = sparse.astype(np.float32).copy()
+    rows, cols = sparse.shape
+    dense, _ = simple_depth_completion_numpy(sparse)
+    for c in range(cols):
+        pre, age = max_depth, 0
+        for r in range(rows):
+            if dense[r, c] <= pre * lambda_:
+                pre, age = dense[r, c], 0
+            elif sparse[r, c] >= 0:
+                sparse[r, c] = -1
+                age += 1
+                max_age = max(1, 1 / max(dense[r, c], 1) * max_age_ratio)
+                if age >= max_age:
+                    age, pre = 0, max_depth
+    return sparse
+
+
+def _ref_noise_filter_0(sparse):
+    sparse = sparse.astype(np.float32).copy()
+    rows, cols = sparse.shape
+    dense, _ = simple_depth_completion_numpy(sparse)
+    for c in range(cols):
+        pre = dense[0, c]
+        for r in range(1, rows):
+            if dense[r, c] <= pre:
+                pre = dense[r, c]
+            else:
+                sparse[r, c] = -1
+    return sparse
+
+
+def _ref_noise_filter_2(sparse, thresh=0.6):
+    sparse = sparse.astype(np.float32).copy()
+    rows, cols = sparse.shape
+    dense, _ = simple_depth_completion_numpy(sparse)
+    for c in range(cols):
+        pre = dense[0, c]
+        for r in range(1, rows):
+            if dense[r, c] <= pre + thresh:
+                pre = dense[r, c]
+            else:
+                sparse[r, c] = -1
+    return sparse
+
+
+def _ref_noise_filter_3(sparse, size=3, thresh=1.5):
+    sparse = sparse.astype(np.float32).copy()
+    rows, cols = sparse.shape
+    dense, _ = simple_depth_completion_numpy(sparse)
+    # cv2.erode, MORPH_RECT (1, size) kernel (width 1 x height size),
+    # borderValue=-1, default center anchor — literal min-filter loops.
+    anchor = size // 2
+    eroded = np.empty_like(dense)
+    for r in range(rows):
+        for c in range(cols):
+            m = np.inf
+            for k in range(size):
+                rr = r + k - anchor
+                v = dense[rr, c] if 0 <= rr < rows else -1.0
+                m = min(m, v)
+            eroded[r, c] = m
+    for r in range(rows):
+        for c in range(cols):
+            if sparse[r, c] >= 0 and sparse[r, c] > eroded[r, c] + thresh:
+                sparse[r, c] = -1
+    return sparse
+
+
+def _sparse_fixture(seed=0, rows=24, cols=18, n=90):
+    rng = np.random.RandomState(seed)
+    sparse = np.zeros((rows, cols), np.float32)
+    ys, xs = rng.randint(0, rows, n), rng.randint(0, cols, n)
+    sparse[ys, xs] = rng.uniform(1, 60, n).astype(np.float32)
+    return sparse
+
+
+def test_noise_filter_matches_reference_algorithm():
+    from diffusiondepth_tpu.data.depth_completion import simple_noise_filter
+
+    for seed in range(3):
+        sparse = _sparse_fixture(seed)
+        np.testing.assert_allclose(
+            simple_noise_filter(sparse), _ref_noise_filter(sparse), rtol=1e-6
+        )
+    # non-default params exercise the age budget + tracker reset
+    sparse = _sparse_fixture(7, rows=40)
+    np.testing.assert_allclose(
+        simple_noise_filter(sparse, lambda_=1.1, max_age_ratio=5, max_depth=100.0),
+        _ref_noise_filter(sparse, lambda_=1.1, max_age_ratio=5, max_depth=100.0),
+        rtol=1e-6,
+    )
+
+
+def test_noise_filter_0_matches_reference_algorithm():
+    from diffusiondepth_tpu.data.depth_completion import simple_noise_filter_0
+
+    for seed in range(3):
+        sparse = _sparse_fixture(seed)
+        np.testing.assert_allclose(
+            simple_noise_filter_0(sparse), _ref_noise_filter_0(sparse), rtol=1e-6
+        )
+
+
+def test_noise_filter_2_matches_reference_algorithm():
+    from diffusiondepth_tpu.data.depth_completion import simple_noise_filter_2
+
+    for seed in range(3):
+        sparse = _sparse_fixture(seed)
+        np.testing.assert_allclose(
+            simple_noise_filter_2(sparse), _ref_noise_filter_2(sparse), rtol=1e-6
+        )
+    np.testing.assert_allclose(
+        simple_noise_filter_2(_sparse_fixture(5), thresh=2.5),
+        _ref_noise_filter_2(_sparse_fixture(5), thresh=2.5),
+        rtol=1e-6,
+    )
+
+
+def test_noise_filter_3_matches_reference_algorithm():
+    from diffusiondepth_tpu.data.depth_completion import simple_noise_filter_3
+
+    for seed in range(3):
+        sparse = _sparse_fixture(seed)
+        np.testing.assert_allclose(
+            simple_noise_filter_3(sparse), _ref_noise_filter_3(sparse), rtol=1e-6
+        )
+    # even-sized kernel exercises the size // 2 anchor convention
+    np.testing.assert_allclose(
+        simple_noise_filter_3(_sparse_fixture(6), size=4, thresh=0.5),
+        _ref_noise_filter_3(_sparse_fixture(6), size=4, thresh=0.5),
+        rtol=1e-6,
+    )
+
+
 # ------------------------------------------------------------------- loader
 def test_loader_sharding_and_batching():
     cfg = Config(data_name="Synthetic", patch_height=32, patch_width=48).finalize()
