@@ -169,16 +169,20 @@ class MultiScaleDeformableAttention(nn.Module):
             name="sampling_offsets",
         )(query).reshape(b, nq, heads, L_cfg, P, 2)[:, :, :, :L]
 
+        # mmcv softmaxes over ALL configured L_cfg*P slots (mmcv
+        # multi_scale_deform_attn.py MultiScaleDeformableAttention.forward)
+        # and only then uses the per-level slices; when runtime L < L_cfg the
+        # used weights therefore sum to < 1.  Softmax first, slice after.
         attn = nn.Dense(
             heads * L_cfg * P,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
             dtype=self.dtype,
             name="attention_weights",
-        )(query).reshape(b, nq, heads, L_cfg, P)[:, :, :, :L]
+        )(query)
         attn = jax.nn.softmax(
-            attn.reshape(b, nq, heads, L * P).astype(jnp.float32), axis=-1
-        ).astype(query.dtype).reshape(b, nq, heads, L, P)
+            attn.reshape(b, nq, heads, L_cfg * P).astype(jnp.float32), axis=-1
+        ).astype(query.dtype).reshape(b, nq, heads, L_cfg, P)[:, :, :, :L]
 
         normalizer = jnp.asarray(
             [[w, h] for (h, w) in spatial_shapes], offsets.dtype

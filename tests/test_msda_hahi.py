@@ -95,18 +95,16 @@ def test_msda_module_runs_with_level_slot_mismatch():
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_msda_sliced_softmax_is_a_distribution_over_runtime_levels():
-    """Documented deviation from mmcv: when runtime levels L < configured
-    num_levels, the attention logits are sliced to L levels FIRST and the
-    softmax normalises over L*P (a proper distribution over the slots that
-    are actually sampled). mmcv instead softmaxes over all configured
-    num_levels*P slots - but then crashes outright on the level-count
-    mismatch (SURVEY.md section 2.3), so there is no reference behaviour to
-    match in this configuration. In the L == num_levels case (every config
-    the reference can actually run) the two orders are identical and the
-    exact-match test above covers it."""
+def test_msda_softmax_normalises_over_configured_slots():
+    """mmcv-exact normalisation at a level-slot mismatch: with runtime
+    L=3 < num_levels=4, the softmax runs over ALL configured num_levels*P
+    logits (mmcv MultiScaleDeformableAttention.forward) and the per-level
+    slices are taken AFTER — so the weights actually used sum to < 1.
+    Verified by re-composing the module's math by hand (projections +
+    full-slot softmax + slice + core ms_deform_attn, itself torch-parity
+    tested above) and comparing module output exactly."""
     m = MultiScaleDeformableAttention(embed_dims=32, num_heads=4, num_levels=4,
-                                      num_points=2)
+                                      num_points=2, dropout=0.0)
     shapes = [(4, 4), (2, 2), (1, 2)]
     nv = sum(h * w for h, w in shapes)
     rng = np.random.RandomState(0)
@@ -115,26 +113,47 @@ def test_msda_sliced_softmax_is_a_distribution_over_runtime_levels():
     ref = jnp.broadcast_to(jnp.full((1, 5, 1, 2), 0.5), (1, 5, 3, 2))
     variables = m.init(jax.random.PRNGKey(0), q, v, None, ref, shapes)
 
-    # give the attention projection non-zero weights so the softmax is
-    # non-trivial, then check the internal weights normalise over L*P
+    # give the offset/attention projections non-zero weights so both the
+    # softmax and the sampling locations are non-trivial
     import flax
 
     params = flax.core.unfreeze(variables["params"] if "params" in variables
                                 else variables)
     params["attention_weights"]["kernel"] = jnp.asarray(
-        rng.randn(32, 4 * 4 * 2).astype(np.float32)
+        0.5 * rng.randn(32, 4 * 4 * 2).astype(np.float32)
     )
-    b, nq, heads, L, P = 1, 5, 4, 3, 2
-    logits = (q @ params["attention_weights"]["kernel"]).reshape(
-        b, nq, heads, 4, P
-    )[:, :, :, :L]
-    attn = jax.nn.softmax(logits.reshape(b, nq, heads, L * P), axis=-1)
-    np.testing.assert_allclose(
-        np.asarray(attn.sum(-1)), np.ones((b, nq, heads)), rtol=1e-5
+    params["sampling_offsets"]["kernel"] = jnp.asarray(
+        0.1 * rng.randn(32, 4 * 4 * 2 * 2).astype(np.float32)
     )
-    # and the module still runs with those weights
     out = m.apply({"params": params}, q, v, None, ref, shapes)
-    assert np.isfinite(np.asarray(out)).all()
+
+    # hand re-composition with mmcv's order of operations
+    b, nq, heads, L_cfg, L, P = 1, 5, 4, 4, 3, 2
+    d = 32 // heads
+    vproj = (v @ params["value_proj"]["kernel"]
+             + params["value_proj"]["bias"]).reshape(b, nv, heads, d)
+    logits = (q @ params["attention_weights"]["kernel"]
+              + params["attention_weights"]["bias"])
+    attn_full = jax.nn.softmax(
+        logits.reshape(b, nq, heads, L_cfg * P), axis=-1
+    ).reshape(b, nq, heads, L_cfg, P)
+    attn = attn_full[:, :, :, :L]
+    # the slots actually sampled carry strictly less than the full mass
+    used = np.asarray(attn.reshape(b, nq, heads, L * P).sum(-1))
+    assert (used < 1.0).all() and (used > 0.0).all()
+    assert used.min() < 0.9  # level-4 slots really do carry mass somewhere
+
+    offs = (q @ params["sampling_offsets"]["kernel"]
+            + params["sampling_offsets"]["bias"]).reshape(
+        b, nq, heads, L_cfg, P, 2)[:, :, :, :L]
+    normalizer = jnp.asarray([[w, h] for (h, w) in shapes], jnp.float32)
+    locs = (ref[:, :, None, :, None, :]
+            + offs / normalizer[None, None, None, :, None, :])
+    core = ms_deform_attn(vproj, shapes, locs, attn)
+    expected = (core @ params["output_proj"]["kernel"]
+                + params["output_proj"]["bias"]) + q
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_sine_positional_encoding_matches_reference_math():
