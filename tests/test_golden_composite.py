@@ -187,6 +187,137 @@ def torch_composite(sd, fp, gt, latent0, ref_sched_mod):
     return gt_map_t, x, torch_dt_inv(sd, image)
 
 
+# ------------------------------------------------------------ torch Swin
+# pure-F re-execution of the reference mmcv Swin backbone
+# (src/model/backbone/swin.py: WindowMSA :150-189, ShiftWindowMSA :250-325,
+# SwinBlock :426-437, PatchMerging :64-88, SwinTransformer.forward :756-777;
+# PatchEmbedSwin utils.py:282-302). Eval mode: all dropouts/drop-path off.
+
+
+def _ln(sd, p, x, eps=1e-5):
+    return F.layer_norm(x, (x.shape[-1],), _tt(sd[p + ".weight"]),
+                        _tt(sd[p + ".bias"]), eps=eps)
+
+
+def _win_part_t(x, ws):
+    B, H, W, C = x.shape
+    x = x.view(B, H // ws, ws, W // ws, ws, C)
+    return x.permute(0, 1, 3, 2, 4, 5).contiguous().view(-1, ws * ws, C)
+
+
+def _win_rev_t(wins, ws, H, W):
+    B = int(wins.shape[0] / (H * W / ws / ws))
+    x = wins.view(B, H // ws, W // ws, ws, ws, -1)
+    return x.permute(0, 1, 3, 2, 4, 5).contiguous().view(B, H, W, -1)
+
+
+def _rel_pos_index_t(ws):
+    """mmcv double_step_seq construction (swin.py:133-138,191-195)."""
+    seq1 = torch.arange(0, (2 * ws - 1) * ws, 2 * ws - 1)
+    seq2 = torch.arange(0, ws)
+    coords = (seq1[:, None] + seq2[None, :]).reshape(1, -1)
+    return (coords + coords.T).flip(1)
+
+
+def _wmsa_t(sd, p, x, heads, ws, mask):
+    """WindowMSA.forward (swin.py:150-189); x: (nW*B, N, C)."""
+    B, N, C = x.shape
+    qkv = x @ _tt(sd[p + ".qkv.weight"]).T + _tt(sd[p + ".qkv.bias"])
+    qkv = qkv.reshape(B, N, 3, heads, C // heads).permute(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    q = q * (C // heads) ** -0.5
+    attn = q @ k.transpose(-2, -1)
+    idx = _rel_pos_index_t(ws).reshape(-1)
+    table = _tt(sd[p + ".relative_position_bias_table"])
+    attn = attn + table[idx].reshape(N, N, heads).permute(2, 0, 1).unsqueeze(0)
+    if mask is not None:
+        nW = mask.shape[0]
+        attn = attn.view(B // nW, nW, heads, N, N) + mask[None, :, None]
+        attn = attn.view(-1, heads, N, N)
+    attn = torch.softmax(attn, -1)
+    x = (attn @ v).transpose(1, 2).reshape(B, N, C)
+    return x @ _tt(sd[p + ".proj.weight"]).T + _tt(sd[p + ".proj.bias"])
+
+
+def _shift_msa_t(sd, p, x, hw, heads, ws, shift):
+    """ShiftWindowMSA.forward (swin.py:250-325); x: (B, H*W, C)."""
+    B, L, C = x.shape
+    H, W = hw
+    x = x.view(B, H, W, C)
+    pad_r = (ws - W % ws) % ws
+    pad_b = (ws - H % ws) % ws
+    x = F.pad(x, (0, 0, 0, pad_r, 0, pad_b))
+    Hp, Wp = x.shape[1], x.shape[2]
+    if shift > 0:
+        x = torch.roll(x, (-shift, -shift), (1, 2))
+        img_mask = torch.zeros((1, Hp, Wp, 1))
+        cnt = 0
+        for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            for vs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+                img_mask[:, hs, vs, :] = cnt
+                cnt += 1
+        mw = _win_part_t(img_mask, ws).view(-1, ws * ws)
+        mask = mw.unsqueeze(1) - mw.unsqueeze(2)
+        mask = mask.masked_fill(mask != 0, -100.0).masked_fill(mask == 0, 0.0)
+    else:
+        mask = None
+    wins = _wmsa_t(sd, p, _win_part_t(x, ws), heads, ws, mask)
+    x = _win_rev_t(wins.view(-1, ws, ws, C), ws, Hp, Wp)
+    if shift > 0:
+        x = torch.roll(x, (shift, shift), (1, 2))
+    return x[:, :H, :W, :].contiguous().view(B, H * W, C)
+
+
+def _patch_merge_t(sd, p, x, hw):
+    """PatchMerging.forward (swin.py:64-88)."""
+    B, L, C = x.shape
+    H, W = hw
+    x = x.view(B, H, W, C).permute(0, 3, 1, 2)
+    if H % 2 or W % 2:
+        x = F.pad(x, (0, W % 2, 0, H % 2))
+    x = F.unfold(x, 2, stride=2).transpose(1, 2)  # B, L/4, 4C
+    x = _ln(sd, p + ".norm", x)
+    return x @ _tt(sd[p + ".reduction.weight"]).T, ((H + 1) // 2, (W + 1) // 2)
+
+
+def torch_swin(sd, img, depths=(2, 2, 6, 2), heads=(3, 6, 12, 24), ws=7):
+    """SwinTransformer.forward (swin.py:756-777): patch embed -> stages of
+    [norm1 -> ShiftWindowMSA -> +id; norm2 -> FFN -> +id] -> per-stage output
+    LN -> NCHW pyramid. FFN = Linear/GELU/Linear (mmcv FFN, add_identity)."""
+    bb = "depth_backbone"
+    H, W = img.shape[2], img.shape[3]
+    if H % 4:
+        img = F.pad(img, (0, 0, 0, 4 - H % 4))
+    if W % 4:
+        img = F.pad(img, (0, 4 - W % 4, 0, 0))
+    x = F.conv2d(img, _tt(sd[f"{bb}.patch_embed.projection.weight"]),
+                 _tt(sd[f"{bb}.patch_embed.projection.bias"]), stride=4)
+    hw = (x.shape[2], x.shape[3])
+    x = x.flatten(2).transpose(1, 2)
+    x = _ln(sd, f"{bb}.patch_embed.norm", x)
+
+    outs = []
+    for i, dep in enumerate(depths):
+        for j in range(dep):
+            p = f"{bb}.stages.{i}.blocks.{j}"
+            idt = x
+            y = _ln(sd, p + ".norm1", x)
+            y = _shift_msa_t(sd, p + ".attn.w_msa", y, hw, heads[i], ws,
+                             ws // 2 if j % 2 else 0)
+            x = y + idt
+            idt = x
+            y = _ln(sd, p + ".norm2", x)
+            y = F.gelu(y @ _tt(sd[p + ".ffn.layers.0.0.weight"]).T
+                       + _tt(sd[p + ".ffn.layers.0.0.bias"]))
+            x = idt + (y @ _tt(sd[p + ".ffn.layers.1.weight"]).T
+                       + _tt(sd[p + ".ffn.layers.1.bias"]))
+        out = _ln(sd, f"{bb}.norm{i}", x)
+        outs.append(out.view(-1, *hw, out.shape[-1]).permute(0, 3, 1, 2))
+        if i < len(depths) - 1:
+            x, hw = _patch_merge_t(sd, f"{bb}.stages.{i}.downsample", x, hw)
+    return outs
+
+
 # ------------------------------------------------------------------- test
 
 
@@ -235,6 +366,82 @@ def test_composite_head_matches_reference_math(ref_sched_mod):
         ref_gt_t.numpy(), rtol=1e-4, atol=1e-5,
     )
     # final metric depth through HAHI + FPN + 4 DDIM steps + inv_t
+    np.testing.assert_allclose(
+        np.asarray(out["pred"]).transpose(0, 3, 1, 2),
+        ref_pred.numpy(), rtol=1e-3, atol=1e-3,
+    )
+
+
+@pytest.mark.slow
+def test_full_model_with_swin_backbone_matches_reference_math(ref_sched_mod):
+    """The strongest no-data parity proof: a converted FULL model — Swin
+    backbone INCLUDED — vs a pure-torch re-execution of the whole reference
+    forward (diffusion_dcbase_model.py:112-134: backbone -> HAHI -> FPN ->
+    4 DDIM steps -> inv_t) on one synthesized state dict. A 32x48 input gives
+    an 8x12 token grid: window-7 attention pads every stage (14x14 / 7x7) and
+    the 2x3->1x2 merge exercises the odd-size PatchMerging pad, so any drift
+    in Swin math, a backbone-converter layout rule, or the head pipeline
+    fails here."""
+    from diffusiondepth_tpu.models.diffusion_model import Diffusion_DCbase_Model
+
+    rng = np.random.RandomState(3)
+    b, ih, iw = 1, 32, 48
+    img = rng.randn(b, 3, ih, iw).astype(np.float32)
+    gt = np.abs(rng.randn(b, 1, ih, iw)).astype(np.float32) * 8 + 1
+    latent0 = rng.randn(b, HID, ih // 2, iw // 2).astype(np.float32)
+    depths, dims = (2, 2, 6, 2), DIMS
+
+    sd = _synth_reference_sd(depths=depths, dims=dims, fpn=FPN, hid=HID)
+
+    # ---- torch (reference math, end to end)
+    with torch.no_grad():
+        fp_t = torch_swin(sd, _tt(img), depths=depths)
+        ref_gt_t, _, ref_pred = torch_composite(
+            sd, fp_t, _tt(gt), _tt(latent0), ref_sched_mod
+        )
+
+    # ---- flax (converted full model)
+    model = Diffusion_DCbase_Model(
+        backbone_name="swin_tiny", backbone_module="swin",
+        head_name="DDIMDepthEstimate_Swin_ADDHAHI",
+        head_in_channels=dims, inference_steps=STEPS,
+    )
+    gt_nhwc = jnp.asarray(gt.transpose(0, 2, 3, 1))
+    batch = {
+        "rgb": jnp.asarray(img.transpose(0, 2, 3, 1)),
+        "dep": gt_nhwc, "gt": gt_nhwc, "depth_map": gt_nhwc,
+        "depth_mask": jnp.ones_like(gt_nhwc),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1)},
+        batch, train=False,
+    )
+    params, stats = convert_reference_model(sd, swin_depths=depths)
+    merged_p = merge_params(flax.core.unfreeze(variables["params"]), params)
+    merged_s = merge_params(flax.core.unfreeze(variables["batch_stats"]), stats)
+
+    # backbone pyramid parity first (localises converter/Swin-math drift)
+    from diffusiondepth_tpu.registry import BACKBONES
+
+    bb = BACKBONES.get("swin_tiny")()
+    fp_j = bb.apply({"params": merged_p["depth_backbone"]},
+                    batch["rgb"], False)
+    for lvl, (ours, ref) in enumerate(zip(fp_j, fp_t)):
+        np.testing.assert_allclose(
+            np.asarray(ours).transpose(0, 3, 1, 2), ref.numpy(),
+            rtol=2e-4, atol=2e-4, err_msg=f"backbone level {lvl}",
+        )
+
+    out = model.apply(
+        {"params": merged_p, "batch_stats": merged_s}, batch, train=False,
+        compute_ddim_loss=False,
+        init_latent=jnp.asarray(latent0.transpose(0, 2, 3, 1)),
+        rngs={"diffusion": jax.random.PRNGKey(2)},
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["gt_map_t"]).transpose(0, 3, 1, 2),
+        ref_gt_t.numpy(), rtol=1e-4, atol=1e-5,
+    )
     np.testing.assert_allclose(
         np.asarray(out["pred"]).transpose(0, 3, 1, 2),
         ref_pred.numpy(), rtol=1e-3, atol=1e-3,
