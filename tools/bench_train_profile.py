@@ -1,7 +1,7 @@
 """Profile the flagship bs4 train micro-step and print the device-time
 breakdown.
 
-Closes the ledger's pending A/B: (a) confirm the te-fusion commit (e00e5e5)
+Closes the ledger's pending A/B: (a) confirm the te-fusion commit (e00e7e5)
 removed the per-step pad/broadcast_add ops from the sampler scan, and
 (b) keep/revert the th=16 small-channel backward tile — both judged on the
 device timeline (the axon relay's fixed dispatch cost makes wall-clock
@@ -76,7 +76,12 @@ def main():
             state, loss, _, _ = step(state, batch, jax.random.fold_in(key, i))
         _ = float(loss)
         dt = (time.perf_counter() - t0) / n
-    print(f"wall {dt:.3f} s/step (bs{BS} micro, {n} steps)", flush=True)
+    print(
+        f"wall {dt:.3f} s/step (bs{BS} micro, {n} steps; measured UNDER "
+        "jax.profiler.trace — includes trace-collection overhead, not "
+        "comparable to untraced wall reads)",
+        flush=True,
+    )
 
     from diffusiondepth_tpu.tools.analyze_trace import main as analyze
 
