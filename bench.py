@@ -1,13 +1,22 @@
 """Benchmark: frames/sec/chip at KITTI 352x1216, 20 DDIM steps.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N,
+   "flops_per_frame_eval_g": ..., "mfu_eval": ..., "mfu_train": ...,
+   "train_sec_per_step_device": ..., ...}
 
 The reference never published latency (SURVEY.md section 6); it prints an
 "Average processing time" per run at batch 1 (src/main.py:489-491).
 BASELINE.json's north star is >=5x an A100 running the reference. We take
-2.0 frames/sec (0.5 s/frame) as the A100 reference estimate for the Swin-L
-class pipeline at this resolution, so vs_baseline = measured_fps / 2.0.
+2.0 frames/sec (0.5 s/frame) as the A100 reference ESTIMATE for the Swin-L
+class pipeline at this resolution, so vs_baseline = measured_fps / 2.0 —
+a labeled secondary estimate. The primary perf accounting is MFU: measured
+throughput x analytic model-FLOPs/frame (diffusiondepth_tpu/tools/flops.py,
+cached table) against the chip's bf16 peak. Train MFU uses the device-
+timeline step time from a jax.profiler trace (the axon relay's fixed
+dispatch cost makes the train wall number noisy, CLAUDE.md perf ledger)
+and the standard 3x-forward model-FLOP convention — conservative, since
+remat replays forward work the convention doesn't count.
 
 Runs the largest currently-implemented flagship at KITTI eval resolution
 with the full 20-step DDIM sampler, bfloat16 compute policy, batched.
@@ -103,6 +112,38 @@ def main():
 
     fps = n_iters * batch_size / best_dt
 
+    # ---- MFU accounting (VERDICT r2 #2): analytic model-FLOPs per frame
+    # (tools/flops.py cached table; regenerated on a CPU trace if missing)
+    # against the chip's bf16 peak
+    mfu_metrics = {}
+    try:
+        from diffusiondepth_tpu.tools import flops as flops_mod
+
+        peak = flops_mod.peak_flops(jax.devices()[0].device_kind)
+        ent = flops_mod.lookup(
+            cfg.backbone_name, cfg.head_specify, H, W, batch_size, STEPS
+        )
+        if ent is None:  # cache miss: one-time CPU-trace regeneration
+            import subprocess
+
+            subprocess.run(
+                [sys.executable, "-m", "diffusiondepth_tpu.tools.flops"],
+                cwd=str(Path(__file__).parent), timeout=1200, check=False,
+                env={k: v for k, v in __import__("os").environ.items()
+                     if k != "PALLAS_AXON_POOL_IPS"},
+            )
+            ent = flops_mod.lookup(
+                cfg.backbone_name, cfg.head_specify, H, W, batch_size, STEPS
+            )
+        if ent is not None:
+            mfu_metrics = {
+                "flops_per_frame_eval_g": round(ent["fwd_flops_frame"] / 1e9, 1),
+                "mfu_eval": round(ent["fwd_flops_frame"] * fps / peak, 4),
+                "peak_tflops": round(peak / 1e12, 1),
+            }
+    except Exception as e:
+        mfu_metrics = {"mfu_error": f"{type(e).__name__}: {e}"}
+
     # free the eval model/batch before the training bench (the training state
     # + bs4 remat activations alone are ~15 GB of the 16 GB HBM)
     del variables, batch, sums
@@ -119,6 +160,9 @@ def main():
                 "value": round(fps, 3),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / A100_BASELINE_FPS, 3),
+                "vs_baseline_note": "vs ESTIMATED 2.0 fps A100 reference; "
+                "mfu_* fields are the hardware-peak accounting",
+                **mfu_metrics,
                 **train_metrics,
             }
         )
@@ -182,12 +226,69 @@ def bench_training(jax, cfg):
         state, loss, _, _ = step(state, batch, jax.random.fold_in(key, i))
     _ = float(loss)  # chain through donated state serialises the steps
     dt = (time.perf_counter() - t0) / n_iters
-    return {
+
+    out = {
         "train_sec_per_step": round(dt, 3),
         "train_imgs_per_sec_chip": round(global_bs / dt, 3),
         "train_config": f"{th}x{tw} global bs{global_bs} accum{accum} "
                         f"{STEPS}-step sampler bf16",
     }
+
+    # Device-timeline step time (the trustworthy train number — the wall
+    # read above carries up to ~30% relay noise, CLAUDE.md perf ledger):
+    # trace a few steps, sum the train-step module's device time.
+    try:
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as trace_dir:
+            n_tr = 2
+            with jax.profiler.trace(trace_dir):
+                for i in range(n_iters + 1, n_iters + n_tr + 1):
+                    state, loss, _, _ = step(
+                        state, batch, jax.random.fold_in(key, i)
+                    )
+                _ = float(loss)
+            dev_step = _device_train_step_secs(trace_dir, n_tr)
+        out["train_sec_per_step_device"] = round(dev_step, 3)
+
+        from diffusiondepth_tpu.tools import flops as flops_mod
+
+        ent = flops_mod.lookup(
+            tcfg.backbone_name, tcfg.head_specify, th, tw, global_bs, STEPS
+        )
+        if ent is not None:
+            peak = flops_mod.peak_flops(jax.devices()[0].device_kind)
+            # standard model-FLOPs convention: train step = 3x forward
+            # (remat replay not counted -> conservative MFU)
+            step_flops = 3.0 * ent["fwd_flops_batch"]
+            out["mfu_train"] = round(step_flops / dev_step / peak, 4)
+            out["flops_per_frame_train_g"] = round(
+                3.0 * ent["fwd_flops_frame"] / 1e9, 1
+            )
+    except Exception as e:
+        out["train_device_error"] = f"{type(e).__name__}: {e}"
+    return out
+
+
+def _device_train_step_secs(trace_dir: str, n_steps: int) -> float:
+    """Per-step on-device time: total device time of the train-step XLA
+    module(s) in the trace, divided by the step count."""
+    import collections
+
+    from diffusiondepth_tpu.tools.analyze_trace import (
+        find_trace_file, load_device_events,
+    )
+
+    _, lanes = load_device_events(find_trace_file(trace_dir))
+    mods = collections.Counter()
+    for name, dur in lanes.get("XLA Modules", []):
+        mods[name] += dur
+    if not mods:
+        raise RuntimeError("no XLA Modules lane in trace")
+    train_us = sum(v for k, v in mods.items() if "train_step" in k)
+    if train_us == 0.0:  # naming drift: fall back to the dominant module
+        train_us = max(mods.values())
+    return train_us / 1e6 / n_steps
 
 
 if __name__ == "__main__":
