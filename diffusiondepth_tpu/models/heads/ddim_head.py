@@ -152,39 +152,111 @@ class DDIMDepthEstimateHead(nn.Module):
         #  * the condition rides as a BROADCAST input, not a carry — carried,
         #    its per-step residuals cost steps x |cond| HBM (6 GB at the
         #    KITTI train crop)
-        #  * the latent carry crosses the scan boundary flattened to
-        #    (B, H, W*C): a 16-channel trailing dim pads 8x on TPU lanes
-        #    (3 GB of padding for 0.4 GB of data)
+        #  * fused Pallas path: latent AND condition live in the kernels'
+        #    zero-border padded layout (B, H, Wp, C) for the WHOLE scan —
+        #    cond is padded once out here (its pad used to run inside both
+        #    the forward and the backward-recompute of every step) and the
+        #    latent is never padded/sliced per step at all. Borders stay
+        #    exactly zero: the kernels mask them and the DDIM update is
+        #    purely multiplicative in (sample, eps). This removed ~100 ms of
+        #    pad/slice/relayout HLO per bs4 train step (a 16-channel minor
+        #    dim lane-pads 8x on TPU, so every materialized (B,H,W,16)
+        #    intermediate cost 8x its logical bytes).
+        #  * jnp path: the latent carry crosses the scan boundary flattened
+        #    to (B, H, W*C) instead (same 8x-lane-padding argument, without
+        #    kernels that need the spatial layout back).
         #  * remat strategy: with the fused Pallas denoiser active, the
         #    body is NOT remat'd — the denoiser's custom_vjp saves only
-        #    (hoisted cond, per-step latent, te vector) and its backward
-        #    recomputes its own intermediates, so full-body remat would just
-        #    replay the forward chain a third time (~190 ms per train step
-        #    at the flagship shape); only the scheduler update is
+        #    (hoisted padded cond, per-step padded latent, te vector) and its
+        #    backward recomputes its own intermediates, so full-body remat
+        #    would just replay the forward chain a third time (~190 ms per
+        #    train step at the flagship shape); only the scheduler update is
         #    checkpointed (its elementwise residuals are steps x eps-sized
         #    otherwise). The jnp denoiser path keeps full-body remat: its
         #    autodiff residuals are six 256-ch maps per step (~20 GB).
         fused = self.model.fused_active(h)
 
+        xs = (tables.timesteps, tables.alpha_prod_t, tables.alpha_prod_prev)
+
+        def sched_update(eps, x, a_t, a_prev):
+            x_prev, _ = schedule.step_from_alphas(
+                eps, x, a_t, a_prev,
+                eta=0.0, use_clipped_model_output=True,
+            )
+            return x_prev
+
+        if fused:
+            from ...ops.fused_denoiser import pad_w, padded_width
+
+            wp = padded_width(w)
+            cond_p = pad_w(cond_latent.astype(jnp.bfloat16), wp)
+            latent0_p = pad_w(latent0, wp)
+
+            # whole-step fusion (denoiser chain + DDIM update as ONE
+            # custom_vjp, ops/fused_denoiser.py fused_sampler_step) is exact
+            # only for the shipped scheduler configuration; anything else
+            # falls back to the fused chain + the jnp scheduler below
+            if schedule.prediction_type == "epsilon" and not schedule.clip_sample:
+                # per-step [sqrt(a_t), sqrt(1-a_t), sqrt(a_prev),
+                # sqrt(1-a_prev)], precomputed outside the scan
+                scheds = jnp.stack(
+                    [
+                        jnp.sqrt(tables.alpha_prod_t),
+                        jnp.sqrt(1.0 - tables.alpha_prod_t),
+                        jnp.sqrt(tables.alpha_prod_prev),
+                        jnp.sqrt(1.0 - tables.alpha_prod_prev),
+                    ],
+                    axis=1,
+                ).astype(jnp.float32)
+
+                def step_fn(mdl, carry, cond_p, xs):
+                    t, sched = xs
+                    xf, xb = carry
+                    xf, xb = mdl.model.sampler_step(xf, xb, t, cond_p, w, sched)
+                    return (xf, xb), (xf[:, :, 1 : w + 1, :] if vis else None)
+
+                scan = nn.scan(
+                    step_fn,
+                    variable_broadcast=["params", "batch_stats"],
+                    split_rngs={"params": False},
+                    in_axes=(nn.broadcast, 0),
+                    out_axes=0,
+                )
+                (latent_p, _), traj = scan(
+                    self,
+                    (latent0_p, latent0_p.astype(jnp.bfloat16)),
+                    cond_p,
+                    (tables.timesteps, scheds),
+                )
+                return latent_p[:, :, 1 : w + 1, :], traj
+
+            sched_ckpt = jax.checkpoint(sched_update)
+
+            def step_fn(mdl, x_p, cond_p, xs):
+                t, a_t, a_prev = xs
+                eps = mdl.model(x_p, t, cond_p, padded_w=w).astype(jnp.float32)
+                x_prev = sched_ckpt(eps, x_p, a_t, a_prev)
+                return x_prev, (x_prev[:, :, 1 : w + 1, :] if vis else None)
+
+            scan = nn.scan(
+                step_fn,
+                variable_broadcast=["params", "batch_stats"],
+                split_rngs={"params": False},
+                in_axes=(nn.broadcast, 0),
+                out_axes=0,
+            )
+            latent_p, traj = scan(self, latent0_p, cond_p, xs)
+            return latent_p[:, :, 1 : w + 1, :], traj
+
         def step_fn(mdl, x_flat, cond, xs):
             t, a_t, a_prev = xs
             x = x_flat.reshape(latent_shape)
             eps = mdl.model(x, t, cond).astype(jnp.float32)
-
-            def sched_update(eps, x, a_t, a_prev):
-                x_prev, _ = schedule.step_from_alphas(
-                    eps, x, a_t, a_prev,
-                    eta=0.0, use_clipped_model_output=True,
-                )
-                return x_prev
-
-            if fused:
-                sched_update = jax.checkpoint(sched_update)
             x_prev = sched_update(eps, x, a_t, a_prev)
             return x_prev.reshape(b, h, w * c), (x_prev if vis else None)
 
         scan = nn.scan(
-            step_fn if fused else nn.remat(step_fn, prevent_cse=False),
+            nn.remat(step_fn, prevent_cse=False),
             variable_broadcast=["params", "batch_stats"],
             split_rngs={"params": False},
             in_axes=(nn.broadcast, 0),
@@ -194,7 +266,7 @@ class DDIMDepthEstimateHead(nn.Module):
             self,
             latent0.reshape(b, h, w * c),
             cond_latent,
-            (tables.timesteps, tables.alpha_prod_t, tables.alpha_prod_prev),
+            xs,
         )
         return latent_flat.reshape(latent_shape), traj
 

@@ -111,14 +111,53 @@ class ScheduledCNNRefine(nn.Module):
             return resize_bilinear(cond, tuple(latent_hw), align_corners=True)
         return cond
 
-    def __call__(self, noisy_latent: jnp.ndarray, t, cond_latent: jnp.ndarray) -> jnp.ndarray:
+    def sampler_step(self, x_f32, x_bf16, t, cond_p, padded_w: int, sched):
+        """One whole DDIM sampler step (denoiser + scheduler update) through
+        the fused Pallas op — padded layout, (f32, bf16) latent pair; see
+        ops/fused_denoiser.py fused_sampler_step. Only called by
+        ddim_head._sample when fused_active and the scheduler matches the
+        op's shipped configuration."""
+        from ...ops.fused_denoiser import fused_sampler_step
+
+        assert self.fused_active(x_f32.shape[1])
+        te = self.time_embedding(jnp.asarray(t))
+        te_b = jnp.broadcast_to(te[None, :], (x_f32.shape[0], te.shape[-1]))
+        return fused_sampler_step(
+            int(padded_w), self.variables["params"], x_f32, x_bf16, cond_p,
+            te_b, sched,
+        )
+
+    def __call__(
+        self,
+        noisy_latent: jnp.ndarray,
+        t,
+        cond_latent: jnp.ndarray,
+        padded_w: Optional[int] = None,
+    ) -> jnp.ndarray:
         """Predict noise.
 
         noisy_latent: (B, h, w, 16); t: scalar int or (B,) ints;
         cond_latent: (B, h, w, C) condition already at latent resolution.
+
+        ``padded_w``: the sampling scan's padded-layout path — latent and
+        condition arrive in the zero-border (B, h, Wp, C) conv layout
+        (Wp = padded_width(padded_w)) and eps returns in it. Only valid when
+        the fused Pallas chain is active (ddim_head._sample sets it).
         """
         te = self.time_embedding(jnp.asarray(t))
         scalar_t = te.ndim == 1
+
+        if padded_w is not None:
+            from ...ops.fused_denoiser import fused_denoiser_padded
+
+            assert scalar_t and self.fused_active(noisy_latent.shape[1])
+            te_b = jnp.broadcast_to(
+                te[None, :], (noisy_latent.shape[0], te.shape[-1])
+            )
+            return fused_denoiser_padded(
+                int(padded_w), self.variables["params"], noisy_latent,
+                cond_latent, te_b,
+            )
 
         if scalar_t and self.fused_active(noisy_latent.shape[1]):
             from ...ops.fused_denoiser import fused_denoiser

@@ -182,7 +182,9 @@ def _fused_link(
     # Small-channel links are per-program-overhead-bound (the matmuls are
     # tiny); double the tile height when the f32 accumulator pair stays
     # comfortably inside the VMEM budget. The big 256x256 links (and the
-    # condition-add link's three full-width streams) keep th=8.
+    # condition-add link's three full-width streams) keep th=8 — A/B'd on
+    # the device timeline 2026-08-19: th=16 on them is 3-10% SLOWER at the
+    # flagship train shape (worse VMEM residency beats halo amortization).
     th = 16 if (cin * cout <= 64 * 256 and not (add is not None) and H % 16 == 0) else TH
     assert H % th == 0, H
     T = H // th
@@ -325,9 +327,27 @@ def _gn_affine_from_partials(ps, scale, bias, num_groups: int, n_valid: int):
 # ---------------------------------------------------------------------------
 
 
+def padded_width(W: int) -> int:
+    """Width of the zero-bordered conv layout: one zero column at 0, zeros at
+    [W+1, Wp). All chain kernels read/write this layout so the 3x3 conv's
+    zero padding comes for free (module docstring)."""
+    return _round_up(W + 2, 16)
+
+
 def _pad_w(x, Wp):
     B, H, W, C = x.shape
     return jnp.pad(x, ((0, 0), (0, 0), (1, Wp - W - 1), (0, 0)))
+
+
+pad_w = _pad_w  # public alias for callers that pre-pad (ddim_head._sample)
+
+
+def _ensure_padded(x, W: int, Wp: int):
+    """Pad x to the (B, H, Wp, C) layout unless the caller already did."""
+    if x.shape[2] == W:
+        return _pad_w(x, Wp)
+    assert x.shape[2] == Wp, (x.shape, W, Wp)
+    return x
 
 
 def _chain_params(variables):
@@ -344,8 +364,8 @@ def _chain_params(variables):
 
 
 def fused_denoiser_apply(
-    variables, noisy_latent, cond, te=None, *, interpret=False,
-    keep_intermediates=False
+    variables, noisy_latent, cond, te=None, *, W=None, out_padded=False,
+    interpret=False, keep_intermediates=False, saved=None
 ):
     """Pallas forward of ScheduledCNNRefine for fuse='upsample_add'.
 
@@ -353,20 +373,42 @@ def fused_denoiser_apply(
     cond: (B, H, W, C) condition map; te: optional (B, C) timestep-embedding
     vector. With te=None, ``cond`` must already hold cond + te broadcast;
     passing them split keeps the full-map sum from ever materializing — the
-    +te lands inside the add-link kernel on the VMEM-resident tile, and the
-    pad of ``cond`` is loop-invariant inside the sampler scan (XLA hoists it).
+    +te lands inside the add-link kernel on the VMEM-resident tile.
     Exact same math as the flax module (models/heads/denoiser.py:90-116).
+
+    Padded-layout callers (the sampling scan) pass ``W`` explicitly and
+    supply ``noisy_latent``/``cond`` already in the (B, H, Wp, C) zero-border
+    layout (``pad_w``); each input is padded here only if it still has
+    logical width W. With ``out_padded`` the result keeps that layout too
+    (borders are exactly zero), so the whole 20-step scan runs without any
+    per-step pad/slice of the 16-channel latent — a 16-wide minor dim
+    lane-pads 8x on TPU, so every materialized (B,H,W,16) intermediate
+    costs 8x its logical HBM bytes.
+
     With keep_intermediates, also returns the padded pre-norm conv outputs
     and per-GN statistics the backward kernel chain needs.
+
+    ``saved``: optional dict of forward intermediates the caller's VJP
+    stashed so the backward recompute can skip links — any of ``u4`` (the
+    fb-link output; skips fb, ~2.1 of the ~7 ms forward-chain recompute per
+    scan step at the flagship shape, for steps x 104 MB of stacked residual
+    HBM), ``u5``+``g2`` (skips pr0, ~1.3 ms for 26 MB/step) and
+    ``u6``+``g3`` (skips pr1 for 6.5 MB/step; g2/g3 are the (aeff, beff,
+    inv, mean) tuples). Saving u3 as well would also skip the fa link but
+    its 256-ch stack (2.1 GB over 20 steps) blows the v5e HBM budget at the
+    flagship train shape, and u2 likewise.
     """
+    saved = saved or {}
     ne0, gn0, ne1, gn1, fa, fb, pr0, gn2, pr1, gn3 = _chain_params(variables)
-    B, H, W, _ = noisy_latent.shape
+    B, H = noisy_latent.shape[0], noisy_latent.shape[1]
+    if W is None:
+        W = noisy_latent.shape[2]
     Wp = _round_up(W + 2, 16)
     cin16 = noisy_latent.shape[-1]
     bf = jnp.bfloat16
 
-    x = _pad_w(noisy_latent.astype(bf), Wp)
-    condp = _pad_w(cond.astype(bf), Wp)
+    x = _ensure_padded(noisy_latent.astype(bf), W, Wp)
+    condp = _ensure_padded(cond.astype(bf), W, Wp)
 
     def w_of(cp):
         return cp["kernel"].astype(bf)
@@ -395,20 +437,36 @@ def fused_denoiser_apply(
         u2, w_of(fa), aeff=g1[0], beff=g1[1], relu_in=True, add=condp,
         te=te, bias=b_of(fa),
     )
-    u4, _ = lk(u3, w_of(fb), bias=b_of(fb))
+    if "u4" in saved:
+        u4 = saved["u4"]
+    else:
+        u4, _ = lk(u3, w_of(fb), bias=b_of(fb))
 
     # pred: conv256->64, GN4+relu, conv64->16, GN4+relu
-    u5, ps5 = lk(u4, w_of(pr0), bias=b_of(pr0), emit_stats=True)
-    g2 = _gn_affine_from_partials(ps5, *gn_ab(gn2), 4, H * W * (c64 // 4))
-    u6, ps6 = lk(
-        u5, w_of(pr1), aeff=g2[0], beff=g2[1], relu_in=True,
-        bias=b_of(pr1), emit_stats=True,
-    )
-    g3 = _gn_affine_from_partials(ps6, *gn_ab(gn3), 4, H * W * (cin16 // 4))
+    if "u5" in saved:
+        u5, g2 = saved["u5"], saved["g2"]
+    else:
+        u5, ps5 = lk(u4, w_of(pr0), bias=b_of(pr0), emit_stats=True)
+        g2 = _gn_affine_from_partials(ps5, *gn_ab(gn2), 4, H * W * (c64 // 4))
+    if "u6" in saved:
+        u6, g3 = saved["u6"], saved["g3"]
+    else:
+        u6, ps6 = lk(
+            u5, w_of(pr1), aeff=g2[0], beff=g2[1], relu_in=True,
+            bias=b_of(pr1), emit_stats=True,
+        )
+        g3 = _gn_affine_from_partials(ps6, *gn_ab(gn3), 4, H * W * (cin16 // 4))
 
     out = jnp.maximum(u6 * g3[0][:, None, None, :].astype(bf)
                       + g3[1][:, None, None, :].astype(bf), bf(0))
-    out = out[:, :, 1 : W + 1, :]
+    if not out_padded:
+        out = out[:, :, 1 : W + 1, :]
+    else:
+        # border columns of u6 are exactly zero (kernel colmask), but the GN
+        # affine's beff shifts them: re-zero so the padded layout invariant
+        # (zero borders) holds for the next scan step's input
+        col = jnp.arange(Wp)[None, None, :, None]
+        out = jnp.where((col >= 1) & (col <= W), out, bf(0))
     if keep_intermediates:
         inter = {
             "x": x, "condp": condp, "te": te,
@@ -512,6 +570,93 @@ def _fused_denoiser_bwd(res, ct):
 
 
 # defvjp is wired at module end, after fused_denoiser_bwd_chain is defined.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_denoiser_padded(W, params, latp, condp, te):
+    """Padded-layout fused denoiser for the sampling scan.
+
+    ``latp`` (B, H, Wp, 16) and ``condp`` (B, H, Wp, C) arrive in the
+    zero-border conv layout (``pad_w``; Wp = padded_width(W)) and the
+    predicted noise returns in the same layout with exactly-zero borders.
+
+    Keeping the latent padded across the whole scan (ddim_head._sample)
+    removes every per-step pad/slice/relayout of the 16-channel latent: a
+    16-wide minor dim lane-pads 8x on TPU, so each materialized (B,H,W,16)
+    intermediate costs 8x its logical HBM bytes — at the flagship bs4 train
+    shape the pad/copy/convert glue was ~5 ms of each 36 ms scan iteration.
+    The DDIM update (diffusion/ddim.py step_from_alphas) is purely
+    multiplicative in (sample, eps), so zero borders are preserved without
+    re-masking between steps. The cond pad is likewise hoisted: it happens
+    ONCE outside the scan instead of inside both the forward and the
+    backward-recompute of every step (2x ~0.5 ms/step on the device
+    timeline), and its vjp (a slice) lands outside the scan too.
+    """
+    interpret = jax.default_backend() != "tpu"
+    return fused_denoiser_apply(
+        params, latp, condp, te, W=W, out_padded=True, interpret=interpret
+    )
+
+
+def _fused_denoiser_padded_fwd(W, params, latp, condp, te):
+    interpret = jax.default_backend() != "tpu"
+    out, it = fused_denoiser_apply(
+        params, latp, condp, te, W=W, out_padded=True, interpret=interpret,
+        keep_intermediates=True,
+    )
+    # Residual layout choices (these stack steps-deep inside the sampling
+    # scan, so every byte and every lane-pad multiplies by 20):
+    #  * the latent is saved as the bf16 the kernels consumed, RESHAPED FLAT
+    #    (B, H, Wp*16): the 16-wide minor dim would lane-pad the stacked
+    #    residual 8x (1.56 GB for 200 MB of data at the flagship train
+    #    shape). The reshape is one relayout each way, time-neutral against
+    #    the padded stack's own HBM traffic. A 0-sized dtype token restores
+    #    the primal latent dtype in the bwd.
+    #  * u4 (the fb-link output) and u5 (+ its g2 GN stats, stacked
+    #    (B, 4, 64)) are saved so the backward recompute skips the fb and
+    #    pr0 links; see fused_denoiser_apply's ``saved``. u5 is saved FLAT
+    #    (B, H, Wp*64) — 64 channels lane-pad 2x otherwise (1.04 GB vs
+    #    520 MB over the 20-step scan). u6 is NOT worth saving: its
+    #    16-channel stack lane-pads 8x (1.66 GB) to skip the cheapest link,
+    #    and the sched kernel donates u6's buffer into xpb. The remaining
+    #    recompute is ne0/ne1/fa/pr1 (u1..u3 are the 256-ch maps whose
+    #    stacks would blow HBM).
+    B, H, Wp, c16 = latp.shape
+    lat_flat = latp.astype(jnp.bfloat16).reshape(B, H, Wp * c16)
+    dtok = jnp.zeros((0,), latp.dtype)
+    c64 = it["u5"].shape[-1]
+    u5_flat = it["u5"].reshape(B, H, Wp * c64)
+    g2s = jnp.stack(it["g2"], axis=1)
+    return out, (params, lat_flat, condp, te, it["u4"], u5_flat, g2s, dtok)
+
+
+def _unstack_saved(u4, u5_flat, g2s, Wp):
+    B, H, wc = u5_flat.shape
+    return {
+        "u4": u4,
+        "u5": u5_flat.reshape(B, H, Wp, wc // Wp),
+        "g2": tuple(g2s[:, i] for i in range(4)),
+    }
+
+
+def _fused_denoiser_padded_bwd(W, res, ct):
+    params, lat_flat, condp, te, u4, u5_flat, g2s, dtok = res
+    B, H, wpc = lat_flat.shape
+    Wp = condp.shape[2]
+    latp = lat_flat.reshape(B, H, Wp, wpc // Wp)
+    interpret = jax.default_backend() != "tpu"
+    dparams, dlat, dfeat = fused_denoiser_bwd_chain(
+        params, latp, condp, ct, te=te, W=W, padded_grads=True,
+        interpret=interpret, saved=_unstack_saved(u4, u5_flat, g2s, Wp),
+    )
+    # dte: spatial sum as an MXU ones-dot (see _fused_denoiser_bwd); the
+    # padded border columns of dfeat are exactly zero so the sum is exact
+    b, hh, ww, c = dfeat.shape
+    dte = _sum_spatial_f32_local(dfeat.reshape(b, hh * ww, c)).astype(te.dtype)
+    return dparams, dlat.astype(dtok.dtype), dfeat, dte
+
+
+fused_denoiser_padded.defvjp(_fused_denoiser_padded_fwd, _fused_denoiser_padded_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -715,8 +860,8 @@ def _bwd_link(
     # mirror the forward tile rule: the small-channel links are
     # per-program-overhead-bound, so double the tile height when the f32
     # accumulator + dw-resident block stay inside the VMEM budget. The
-    # 256x256 links and the add-link (three extra full-width streams plus
-    # the d(add) output) keep th=8.
+    # 256x256 links and the add-link keep th=8 (device-timeline A/B
+    # 2026-08-19: th=16 on them is 4-10% slower, see _fused_link).
     th = 16 if (cin * cout <= 64 * 256 and add is None and H % 16 == 0) else TH
     assert H % th == 0, H
     T = H // th
@@ -866,36 +1011,31 @@ def _gn_bwd_glue(ps, scale, invc, meanc, num_groups, n_group):
 
 
 def fused_denoiser_bwd_chain(params, noisy_latent, cond, ct, *, te=None,
-                             interpret=False):
+                             W=None, padded_grads=False, interpret=False,
+                             saved=None):
     """Hand-written backward of the fused chain: recompute the Pallas forward
     (keeping pre-norm maps + GN stats), then run one backward kernel per link
     back up the chain. ``cond``/``te`` as in fused_denoiser_apply (te=None
     means cond already holds the full fused condition). Returns
     (dparams, dlat, dcond) matching jax.vjp of ``_jnp_chain`` up to bf16
-    rounding; d(te) is the spatial sum of dcond (the caller derives it)."""
+    rounding; d(te) is the spatial sum of dcond (the caller derives it).
+
+    Padded-layout callers (fused_denoiser_padded) pass W explicitly with
+    noisy_latent/cond/ct already in the (B, H, Wp, *) zero-border layout and
+    set ``padded_grads`` to get dlat/dcond back in that layout (their border
+    columns are exactly zero — the backward kernels mask them)."""
     ne0, gn0, ne1, gn1, fa, fb, pr0, gn2, pr1, gn3 = _chain_params(params)
-    B, H, W, cin16 = noisy_latent.shape
+    B, H = noisy_latent.shape[0], noisy_latent.shape[1]
+    if W is None:
+        W = noisy_latent.shape[2]
     Wp = _round_up(W + 2, 16)
+    cin16 = noisy_latent.shape[-1]
     bf = jnp.bfloat16
     out, it = fused_denoiser_apply(
-        params, noisy_latent, cond, te, interpret=interpret,
-        keep_intermediates=True,
+        params, noisy_latent, cond, te, W=W, interpret=interpret,
+        keep_intermediates=True, saved=saved,
     )
-    c64 = it["u1"].shape[-1]
-    c256 = it["u2"].shape[-1]
     n16 = H * W * (cin16 // 4)
-    n64 = H * W * (c64 // 4)
-    n256 = H * W * (c256 // 4)
-
-    def coef_in_of(g, gn_params):
-        aeff, beff, invc, meanc = g
-        scale = jnp.broadcast_to(
-            gn_params["scale"].astype(jnp.float32)[None, :], invc.shape
-        )
-        return jnp.stack(
-            [aeff, beff, invc, meanc, scale] + [jnp.zeros_like(aeff)] * 3,
-            axis=1,
-        ).astype(jnp.float32)
 
     # ---- virtual link 7: out = relu(gn3(u6)), in jnp (16 channels) --------
     a6, b6, inv6, mean6 = it["g3"]
@@ -904,9 +1044,13 @@ def fused_denoiser_bwd_chain(params, noisy_latent, cond, ct, *, te=None,
         u6 * a6[:, None, None, :].astype(bf) + b6[:, None, None, :].astype(bf),
         bf(0),
     )
-    ctp = _pad_w(ct.astype(bf), Wp)
+    ctp = _ensure_padded(ct.astype(bf), W, Wp)
     scale3 = gn3["scale"].astype(jnp.float32)
-    t6 = jnp.where(outp > 0, ctp, bf(0)) * jnp.broadcast_to(
+    # the relu mask uses the recomputed padded forward whose border columns
+    # hold relu(beff) != 0; mask them so a padded-layout ct can't leak in
+    col = jnp.arange(Wp)[None, None, :, None]
+    live = (outp > 0) & (col >= 1) & (col <= W)
+    t6 = jnp.where(live, ctp, bf(0)) * jnp.broadcast_to(
         scale3, (cin16,)
     ).astype(bf)[None, None, None, :]
     xh6 = (u6 - mean6[:, None, None, :].astype(bf)) * inv6[
@@ -921,6 +1065,42 @@ def fused_denoiser_bwd_chain(params, noisy_latent, cond, ct, *, te=None,
         axis=1,
     )  # (B, 2, 16)
     coefs6, dscale3, dbias3 = _gn_bwd_glue(p6, scale3, inv6, mean6, 4, n16)
+
+    return _chain_bwd_links(
+        params, it, t6, coefs6, (dscale3, dbias3),
+        W=W, interpret=interpret, padded_grads=padded_grads,
+        out_dtypes=(noisy_latent.dtype, cond.dtype),
+    )
+
+
+def _chain_bwd_links(params, it, t6, coefs6, dgn3, *, W, interpret,
+                     padded_grads, out_dtypes):
+    """Backward kernels for links 6..1 given the t-form cotangent of u6.
+
+    ``it``: the forward intermediates dict (fused_denoiser_apply with
+    keep_intermediates); ``t6``/``coefs6``: the virtual-link-7 outputs (from
+    the jnp vlink7 in fused_denoiser_bwd_chain or the fused sched-backward
+    kernel in fused_sampler_step); ``dgn3``: (dscale3, dbias3).
+    Returns (dparams, dlat, dcond)."""
+    ne0, gn0, ne1, gn1, fa, fb, pr0, gn2, pr1, gn3 = _chain_params(params)
+    dscale3, dbias3 = dgn3
+    u6 = it["u6"]
+    B, H = u6.shape[0], u6.shape[1]
+    c64 = it["u1"].shape[-1]
+    c256 = it["u2"].shape[-1]
+    cin16 = u6.shape[-1]
+    n64 = H * W * (c64 // 4)
+    n256 = H * W * (c256 // 4)
+
+    def coef_in_of(g, gn_params):
+        aeff, beff, invc, meanc = g
+        scale = jnp.broadcast_to(
+            gn_params["scale"].astype(jnp.float32)[None, :], invc.shape
+        )
+        return jnp.stack(
+            [aeff, beff, invc, meanc, scale] + [jnp.zeros_like(aeff)] * 3,
+            axis=1,
+        ).astype(jnp.float32)
 
     blk = functools.partial(_bwd_link, W=W, interpret=interpret)
 
@@ -959,8 +1139,13 @@ def fused_denoiser_bwd_chain(params, noisy_latent, cond, ct, *, te=None,
         t1, ne0["kernel"], it["x"], u_next=it["u1"], coef_next=coefs1,
     )
 
-    dlat = t0[:, :, 1 : W + 1, :].astype(noisy_latent.dtype)
-    dfeat = dfeat_p[:, :, 1 : W + 1, :].astype(cond.dtype)
+    lat_dtype, cond_dtype = out_dtypes
+    if padded_grads:
+        dlat = t0.astype(lat_dtype)
+        dfeat = dfeat_p.astype(cond_dtype)
+    else:
+        dlat = t0[:, :, 1 : W + 1, :].astype(lat_dtype)
+        dfeat = dfeat_p[:, :, 1 : W + 1, :].astype(cond_dtype)
 
     def cgrad(cp, dw, db):
         return {
@@ -992,3 +1177,281 @@ def fused_denoiser_bwd_chain(params, noisy_latent, cond, ct, *, te=None,
 
 
 fused_denoiser.defvjp(_fused_denoiser_fwd, _fused_denoiser_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused sampler step: denoiser chain + DDIM update as ONE custom_vjp
+# ---------------------------------------------------------------------------
+#
+# The sampling scan's remaining XLA glue after the padded-layout rework was
+# the eps finish (relu(gn3(u6))), the bf16->f32 convert, the DDIM update and
+# the next step's f32->bf16 convert — each a separate pass over 8x-lane-
+# padded (B, H, Wp, 16) HBM arrays. Folding them into two small Pallas
+# kernels (one forward, one backward that also absorbs the jnp virtual-link-7
+# of the chain backward) turns ~6 XLA passes per scan step into two.
+#
+# The DDIM update implemented here is the head's exact configuration
+# (epsilon prediction, clip_sample=False, use_clipped_model_output=True,
+# eta=0; diffusion/ddim.py step_from_alphas, reference scheduling_ddim.py):
+#     eps  = relu(u6 * a3 + b3)            (bf16, then f32)
+#     x0   = (x - sb * eps) / sa           sa = sqrt(alpha_t),  sb = sqrt(1-alpha_t)
+#     eps2 = (x - sa * x0) / sb
+#     xp   = sp * x0 + sq * eps2           sp = sqrt(alpha_prev), sq = sqrt(1-alpha_prev)
+# Backward (the update is LINEAR in (x, eps) given the alphas):
+#     dx   = dxp * sp / sa                 (the algebraically-exact closed form;
+#     deps = dxp * (sq - sp * sb / sa)      autodiff's term-by-term expansion
+#                                           cancels catastrophically near t=0)
+
+
+def _sched_step_kernel(u6_ref, x_ref, coef_ref, scal_ref, xp_ref, xpb_ref,
+                       *, W: int):
+    bf = jnp.bfloat16
+    Wp = u6_ref.shape[2]
+    a = coef_ref[0, 0].astype(bf)[None, None, :]
+    b = coef_ref[0, 1].astype(bf)[None, None, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, Wp, 1), 1)
+    colmask = jnp.logical_and(col >= 1, col <= W).astype(bf)
+    # same rounding as the XLA path: eps in bf16, then converted to f32
+    eps = (jnp.maximum(u6_ref[0] * a + b, bf(0)) * colmask).astype(jnp.float32)
+    x = x_ref[0]
+    sa = scal_ref[0, 0]
+    sb = scal_ref[0, 1]
+    sp = scal_ref[0, 2]
+    sq = scal_ref[0, 3]
+    x0 = (x - sb * eps) / sa
+    eps2 = (x - sa * x0) / sb
+    xp = sp * x0 + sq * eps2
+    xp_ref[0] = xp
+    xpb_ref[0] = xp.astype(bf)
+
+
+def _sched_bwd_kernel(dxp_ref, dxpb_ref, u6_ref, coef_ref, scal_ref,
+                      dx_ref, t6_ref, ps_ref, *, W: int):
+    bf = jnp.bfloat16
+    Wp = u6_ref.shape[2]
+    dxp = dxp_ref[0] + dxpb_ref[0].astype(jnp.float32)
+    sa = scal_ref[0, 0]
+    sb = scal_ref[0, 1]
+    sp = scal_ref[0, 2]
+    sq = scal_ref[0, 3]
+    dx_ref[0] = dxp * (sp / sa)
+    deps = dxp * (sq - sp * sb / sa)
+    a = coef_ref[0, 0].astype(bf)[None, None, :]
+    b = coef_ref[0, 1].astype(bf)[None, None, :]
+    pre = u6_ref[0] * a + b
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, Wp, 1), 1)
+    colmask = jnp.logical_and(col >= 1, col <= W)
+    # Mosaic has no bf16 vector compare: take the relu mask in f32
+    live = jnp.logical_and(pre.astype(jnp.float32) > 0.0, colmask)
+    scale3 = coef_ref[0, 4].astype(bf)[None, None, :]
+    tl = jnp.where(live, deps.astype(bf), bf(0)) * scale3
+    inv6 = coef_ref[0, 2].astype(bf)[None, None, :]
+    mean6 = coef_ref[0, 3].astype(bf)[None, None, :]
+    xh6 = (u6_ref[0] - mean6) * inv6
+    # f32 upcast before the sum so accumulation is f32 on every backend.
+    # NOTE: with --xla_allow_excess_precision (on by default) the compiler
+    # elides the f32->bf16->f32 round-trip through ``tl``, so these stats sum
+    # the UNROUNDED products — ~bf16-level (0.3%) different from summing the
+    # materialized t6 output. More precise, but not bitwise-consistent with
+    # t6; the GN-stat consumers tolerate bf16 noise by construction.
+    tl32 = tl.astype(jnp.float32)
+    ps_ref[0, 0, 0] = jnp.sum(tl32, axis=(0, 1))
+    ps_ref[0, 0, 1] = jnp.sum(tl32 * xh6.astype(jnp.float32), axis=(0, 1))
+    t6_ref[0] = tl
+
+
+def _sched_blocks(B, H, Wp, c16, th):
+    c_f = pl.BlockSpec((1, th, Wp, c16), lambda b, t: (b, t, 0, 0))
+    coef = pl.BlockSpec((1, 8, c16), lambda b, t: (b, 0, 0))
+    scal = pl.BlockSpec((1, 4), lambda b, t: (0, 0))
+    return c_f, coef, scal
+
+
+def _sched_th(H: int, Wp: int, stream_bytes: int) -> int:
+    """Tile height for the scheduler kernels, sized to scoped VMEM.
+
+    The 16-channel minor dim lane-pads 8x inside VMEM blocks too, so each
+    row of each stream costs Wp*128*dtype bytes — at the flagship train
+    shape (Wp=464) a th=16 forward block already blows the 16 MB
+    scoped-vmem limit (21.75 MB, compile-time OOM), and at the eval width
+    (Wp=624) even th=8 is borderline for the backward's 14 bytes/elem of
+    streams. These kernels are pure-VPU bandwidth-bound; tile height does
+    not move their time, so shrink until the double-buffered streams fit
+    in a 9 MB budget. The budget is NOT the 16 MB scoped limit: the kernel
+    stack frame also holds Mosaic's f32 temporaries (eps/x0/eps2 etc.) —
+    at the flagship train shape the fwd kernel's frame measured 16.14 MB
+    when its streams were 11.4 MB (th=8, compile-time OOM by 140 KB), a
+    ~1.4x overhead. th is dim -3 of the block so any value is tile-free
+    ((8,128) tiling pads the LAST two dims, (Wp, 16))."""
+    th = TH
+    while th > 1 and th * Wp * 128 * stream_bytes * 2 > 9e6 and H % (th // 2) == 0:
+        th //= 2
+    assert H % th == 0, (H, th)
+    return th
+
+
+def _sched_step(u6, x, coefs, sched, *, W, interpret):
+    """coefs: (B, 8, 16) f32 [a3eff, b3eff, ...]; sched: (4,) f32."""
+    B, H, Wp, c16 = u6.shape
+    th = _sched_th(H, Wp, 4 + 2 + 4 + 2)  # x, u6 in; xp, xpb out
+    c_f, coef, scal = _sched_blocks(B, H, Wp, c16, th)
+    xp, xpb = pl.pallas_call(
+        functools.partial(_sched_step_kernel, W=W),
+        grid=(B, H // th),
+        in_specs=[c_f, c_f, coef, scal],
+        out_specs=[c_f, c_f],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Wp, c16), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Wp, c16), jnp.bfloat16),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=12 * B * H * Wp * c16,
+            bytes_accessed=B * H * Wp * c16 * 12,
+            transcendentals=0,
+        ),
+        # donate the dead inputs into the outputs (u6 -> xpb, x -> xp: same
+        # shape/dtype, elementwise blocks read before written): without the
+        # aliases XLA keeps both latent-pair carries live across the scan
+        # body and copies them at the while boundary — two ~0.5 ms copies
+        # per sampler step (~20 ms per bs4 train step on the device
+        # timeline)
+        input_output_aliases={0: 1, 1: 0},
+        interpret=interpret,
+    )(u6, x.astype(jnp.float32), coefs, sched.reshape(1, 4))
+    return xp, xpb
+
+
+def _sched_bwd(dxp, dxpb, u6, coefs, sched, *, W, interpret):
+    B, H, Wp, c16 = u6.shape
+    th = _sched_th(H, Wp, 4 + 2 + 2 + 4 + 2)  # dxp, dxpb, u6 in; dx, t6 out
+    c_f, coef, scal = _sched_blocks(B, H, Wp, c16, th)
+    c_b = pl.BlockSpec((1, th, Wp, c16), lambda b, t: (b, t, 0, 0))
+    dx, t6, ps = pl.pallas_call(
+        functools.partial(_sched_bwd_kernel, W=W),
+        grid=(B, H // th),
+        in_specs=[c_f, c_b, c_b, coef, scal],
+        out_specs=[
+            c_f,
+            c_b,
+            pl.BlockSpec((1, 1, 2, c16), lambda b, t: (b, t, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Wp, c16), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Wp, c16), jnp.bfloat16),
+            jax.ShapeDtypeStruct((B, H // th, 2, c16), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=16 * B * H * Wp * c16,
+            bytes_accessed=B * H * Wp * c16 * 14,
+            transcendentals=0,
+        ),
+        # donate the incoming cotangent pair (dead after this call) into the
+        # outputs — see _sched_step: keeps the backward scan's carry updates
+        # in place instead of copied at the while boundary
+        input_output_aliases={0: 0, 1: 1},
+        interpret=interpret,
+    )(dxp, dxpb, u6, coefs, sched.reshape(1, 4))
+    return dx, t6, ps
+
+
+def _coefs7(g3, gn3):
+    """(B, 8, 16) f32 [a3eff, b3eff, inv6, mean6, scale3, 0, 0, 0]."""
+    a6, b6, inv6, mean6 = g3
+    scale = jnp.broadcast_to(
+        gn3["scale"].astype(jnp.float32)[None, :], inv6.shape
+    )
+    return jnp.stack(
+        [a6, b6, inv6, mean6, scale] + [jnp.zeros_like(a6)] * 3, axis=1
+    ).astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_sampler_step(W, params, x_f32, x_bf16, condp, te, sched):
+    """One whole DDIM sampler step (denoiser chain + scheduler update) in the
+    padded layout: (x_f32, x_bf16) -> (x'_f32, x'_bf16).
+
+    The latent rides the scan as an (f32, bf16) PAIR, both produced by the
+    fused scheduler kernel in one pass: the f32 copy carries the trajectory
+    precision the DDIM math needs (bf16 underflow near t=0, CLAUDE.md), the
+    bf16 copy is what the chain kernels consume — so neither a bf16 convert
+    nor any eps/out materialization happens in XLA between steps. ``sched``
+    is the per-step (4,) f32 vector [sqrt(a_t), sqrt(1-a_t), sqrt(a_prev),
+    sqrt(1-a_prev)] precomputed from the alpha tables outside the scan.
+    Only valid for the head's shipped scheduler configuration (epsilon
+    prediction, clip_sample=False, use_clipped_model_output=True, eta=0) —
+    ddim_head._sample guards and falls back to fused_denoiser_padded + the
+    jnp scheduler otherwise.
+
+    VJP residuals: (params, flat bf16 latent, condp, te, u4, sched) — see
+    _fused_denoiser_padded_fwd for the layout arguments. The backward fuses
+    the scheduler transpose AND the chain's virtual link 7 into one kernel
+    (_sched_bwd_kernel), then runs the shared link backward chain.
+    """
+    interpret = jax.default_backend() != "tpu"
+    (xp, xpb), _ = _sampler_step_impl(
+        W, params, x_f32, x_bf16, condp, te, sched, interpret
+    )
+    return xp, xpb
+
+
+def _sampler_step_impl(W, params, x_f32, x_bf16, condp, te, sched, interpret):
+    _, it = fused_denoiser_apply(
+        params, x_bf16, condp, te, W=W, out_padded=True, interpret=interpret,
+        keep_intermediates=True,
+    )
+    gn3 = _chain_params(params)[9]
+    xp, xpb = _sched_step(
+        it["u6"], x_f32, _coefs7(it["g3"], gn3), sched,
+        W=W, interpret=interpret,
+    )
+    return (xp, xpb), it
+
+
+def _fused_sampler_step_fwd(W, params, x_f32, x_bf16, condp, te, sched):
+    interpret = jax.default_backend() != "tpu"
+    (xp, xpb), it = _sampler_step_impl(
+        W, params, x_f32, x_bf16, condp, te, sched, interpret
+    )
+    B, H, Wp, c16 = x_bf16.shape
+    lat_flat = x_bf16.reshape(B, H, Wp * c16)
+    c64 = it["u5"].shape[-1]
+    u5_flat = it["u5"].reshape(B, H, Wp * c64)
+    g2s = jnp.stack(it["g2"], axis=1)
+    return (xp, xpb), (params, lat_flat, condp, te, it["u4"], u5_flat, g2s,
+                       sched)
+
+
+def _fused_sampler_step_bwd(W, res, cts):
+    params, lat_flat, condp, te, u4, u5_flat, g2s, sched = res
+    dxp, dxpb = cts
+    interpret = jax.default_backend() != "tpu"
+    B, H, wpc = lat_flat.shape
+    Wp = condp.shape[2]
+    c16 = wpc // Wp
+    latp = lat_flat.reshape(B, H, Wp, c16)
+
+    _, it = fused_denoiser_apply(
+        params, latp, condp, te, W=W, out_padded=True, interpret=interpret,
+        keep_intermediates=True, saved=_unstack_saved(u4, u5_flat, g2s, Wp),
+    )
+    gn3 = _chain_params(params)[9]
+    dx_f32, t6, ps6 = _sched_bwd(
+        dxp, dxpb, it["u6"], _coefs7(it["g3"], gn3), sched,
+        W=W, interpret=interpret,
+    )
+    scale3 = gn3["scale"].astype(jnp.float32)
+    n16 = H * W * (c16 // 4)
+    coefs6, dscale3, dbias3 = _gn_bwd_glue(
+        ps6, scale3, it["g3"][2], it["g3"][3], 4, n16
+    )
+    dparams, dlat_b, dfeat = _chain_bwd_links(
+        params, it, t6, coefs6, (dscale3, dbias3),
+        W=W, interpret=interpret, padded_grads=True,
+        out_dtypes=(jnp.bfloat16, condp.dtype),
+    )
+    b, hh, ww, c = dfeat.shape
+    dte = _sum_spatial_f32_local(dfeat.reshape(b, hh * ww, c)).astype(te.dtype)
+    return (dparams, dx_f32, dlat_b, dfeat, dte, jnp.zeros_like(sched))
+
+
+fused_sampler_step.defvjp(_fused_sampler_step_fwd, _fused_sampler_step_bwd)

@@ -188,6 +188,165 @@ def test_public_custom_vjp_split_cond_te():
     assert dist(kT, tT) < 0.25, dist(kT, tT)
 
 
+def test_padded_layout_entry_point():
+    """fused_denoiser_padded (the sampling scan's zero-border layout path)
+    must equal the unpadded public op in both forward and VJP: eps/grads come
+    back in the padded layout with exactly-zero border columns, and slicing
+    recovers the unpadded op's values bit-for-bit (same kernels, same
+    inputs)."""
+    from diffusiondepth_tpu.ops.fused_denoiser import (
+        fused_denoiser,
+        fused_denoiser_padded,
+        pad_w,
+        padded_width,
+    )
+
+    den, params, lat, cond, feat = _setup(seed=7)
+    B, H, W, _ = lat.shape
+    Wp = padded_width(W)
+    te = params["time_embedding"]["embedding"][100]
+    te_b = jnp.broadcast_to(te[None, :], (B, te.shape[-1]))
+    lat_p = pad_w(lat.astype(jnp.float32), Wp)  # f32 like the scan carry
+    cond_p = pad_w(cond, Wp)
+
+    out_p = fused_denoiser_padded(W, params, lat_p, cond_p, te_b)
+    out = fused_denoiser(params, lat, cond, te_b)
+    assert out_p.shape == (B, H, Wp, 16)
+    np.testing.assert_array_equal(
+        np.asarray(out_p[:, :, 1 : W + 1, :], np.float32),
+        np.asarray(out, np.float32),
+    )
+    # zero-border invariant: the next scan step feeds this straight back in
+    border = np.concatenate(
+        [np.asarray(out_p[:, :, :1], np.float32),
+         np.asarray(out_p[:, :, W + 1 :], np.float32)], axis=2
+    )
+    np.testing.assert_array_equal(border, np.zeros_like(border))
+
+    ct = jnp.asarray(
+        np.random.RandomState(13).randn(B, H, W, 16) * 0.1, jnp.bfloat16
+    )
+    ct_p = pad_w(ct, Wp)
+    _, vjp_p = jax.vjp(
+        lambda p, l, c, t: fused_denoiser_padded(W, p, l, c, t),
+        params, lat_p, cond_p, te_b,
+    )
+    _, vjp_u = jax.vjp(fused_denoiser, params, lat, cond, te_b)
+    pP, pL, pC, pT = vjp_p(ct_p)
+    uP, uL, uC, uT = vjp_u(ct)
+
+    np.testing.assert_array_equal(
+        np.asarray(pL[:, :, 1 : W + 1, :], np.float32),
+        np.asarray(uL, np.float32),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pC[:, :, 1 : W + 1, :], np.float32),
+        np.asarray(uC, np.float32),
+    )
+    # dte sums over H*Wp (zeros in the borders) vs H*W positions: identical
+    # terms, but the reduction tree may reassociate — allow f32 noise
+    np.testing.assert_allclose(np.asarray(pT, np.float32),
+                               np.asarray(uT, np.float32),
+                               rtol=1e-5, atol=1e-5)
+    # grad borders are exactly zero (masked by the backward kernels)
+    for g in (pL, pC):
+        gb = np.concatenate(
+            [np.asarray(g[:, :, :1], np.float32),
+             np.asarray(g[:, :, W + 1 :], np.float32)], axis=2)
+        np.testing.assert_array_equal(gb, np.zeros_like(gb))
+    for (ka, va), (kb, vb) in zip(
+        jax.tree_util.tree_flatten_with_path(pP)[0],
+        jax.tree_util.tree_flatten_with_path(uP)[0],
+    ):
+        assert jax.tree_util.keystr(ka) == jax.tree_util.keystr(kb)
+        np.testing.assert_array_equal(np.asarray(va, np.float32),
+                                      np.asarray(vb, np.float32))
+
+
+def test_fused_sampler_step_matches_composite():
+    """fused_sampler_step (whole DDIM step: chain + scheduler in Pallas) must
+    match the composite fused_denoiser_padded -> step_from_alphas path: the
+    forward within f32 rounding of the identical formula, and the VJP within
+    f32/bf16 noise (the dx path uses the algebraically-exact closed form
+    sp/sa where autodiff expands term-by-term)."""
+    from diffusiondepth_tpu.diffusion.ddim import DDIMSchedule
+    from diffusiondepth_tpu.ops.fused_denoiser import (
+        fused_denoiser_padded,
+        fused_sampler_step,
+        pad_w,
+        padded_width,
+    )
+
+    den, params, lat, cond, feat = _setup(seed=9)
+    B, H, W, _ = lat.shape
+    Wp = padded_width(W)
+    te = params["time_embedding"]["embedding"][100]
+    te_b = jnp.broadcast_to(te[None, :], (B, te.shape[-1]))
+    x_f32 = pad_w(jnp.asarray(np.random.RandomState(3).randn(B, H, W, 16),
+                              jnp.float32), Wp)
+    x_b = x_f32.astype(jnp.bfloat16)
+    cond_p = pad_w(cond, Wp)
+    a_t, a_prev = jnp.float32(0.63), jnp.float32(0.89)
+    sched = jnp.stack([jnp.sqrt(a_t), jnp.sqrt(1 - a_t),
+                       jnp.sqrt(a_prev), jnp.sqrt(1 - a_prev)])
+
+    schedule = DDIMSchedule(clip_sample=False)
+
+    def composite(params, x_f32, x_b, cond_p, te_b, sched):
+        eps = fused_denoiser_padded(W, params, x_b, cond_p, te_b)
+        xp, _ = schedule.step_from_alphas(
+            eps.astype(jnp.float32), x_f32, a_t, a_prev,
+            eta=0.0, use_clipped_model_output=True,
+        )
+        return xp
+
+    xp_f, xpb_f = fused_sampler_step(W, params, x_f32, x_b, cond_p, te_b,
+                                     sched)
+    xp_c = composite(params, x_f32, x_b, cond_p, te_b, sched)
+    np.testing.assert_allclose(np.asarray(xp_f, np.float32),
+                               np.asarray(xp_c, np.float32),
+                               rtol=2e-6, atol=2e-6)
+    np.testing.assert_array_equal(
+        np.asarray(xpb_f, np.float32),
+        np.asarray(xp_f.astype(jnp.bfloat16), np.float32))
+
+    ct = jnp.asarray(np.random.RandomState(5).randn(B, H, Wp, 16) * 0.1,
+                     jnp.float32)
+    # zero the ct borders like the scan's sliced output transpose does
+    colm = ((np.arange(Wp) >= 1) & (np.arange(Wp) <= W)).astype(np.float32)
+    ct = ct * jnp.asarray(colm)[None, None, :, None]
+
+    _, vjp_f = jax.vjp(
+        lambda p, xf, xb, c, t: fused_sampler_step(W, p, xf, xb, c, t, sched),
+        params, x_f32, x_b, cond_p, te_b)
+    fP, fXf, fXb, fC, fT = vjp_f((ct, jnp.zeros_like(ct, jnp.bfloat16)))
+    # composite only consumes x_b through the chain; route x_f32 through the
+    # scheduler exactly as fused_sampler_step does
+    _, vjp_c = jax.vjp(
+        lambda p, xf, xb, c, t: composite(p, xf, xb, c, t, sched),
+        params, x_f32, x_b, cond_p, te_b)
+    cP, cXf, cXb, cC, cT = vjp_c(ct)
+
+    def dist(a, b):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        return float(np.sqrt(np.mean((a - b) ** 2))
+                     / (np.sqrt(np.mean(b ** 2)) + 1e-8))
+
+    assert dist(fXf, cXf) < 1e-5, dist(fXf, cXf)     # linear closed form
+    assert dist(fXb, cXb) < 0.15, dist(fXb, cXb)     # bf16 chain path
+    assert dist(fC, cC) < 0.15, dist(fC, cC)
+    assert dist(fT, cT) < 0.15, dist(fT, cT)
+    for (k, va), (_, vb) in zip(
+        jax.tree_util.tree_flatten_with_path(fP)[0],
+        jax.tree_util.tree_flatten_with_path(cP)[0],
+    ):
+        ks = jax.tree_util.keystr(k)
+        if "time_embedding" in ks:
+            continue
+        d = dist(va, vb)
+        assert d < 0.15, (ks, d)
+
+
 def test_module_guard_falls_back_off_tpu():
     """On the CPU test platform the module must take the jnp path even with
     use_fused=True (the guard checks the backend), so results are identical
@@ -199,3 +358,100 @@ def test_module_guard_falls_back_off_tpu():
     a = np.asarray(den_t.apply({"params": params}, lat, 100, cond), np.float32)
     b = np.asarray(den_f.apply({"params": params}, lat, 100, cond), np.float32)
     np.testing.assert_array_equal(a, b)
+
+
+def test_sched_kernels_wide_shape_th4():
+    """The fused sampler-step scheduler kernels at a width that forces the
+    VMEM-budgeted tile height down to th=4 (the flagship train/eval widths do
+    this on the real chip — the 16-channel minor dim lane-pads 8x inside VMEM
+    blocks, so th=8 blows the 16 MB scoped limit; see _sched_th). Pins the
+    th=4 block specs and the border/relu masks against a jnp restatement of
+    the documented formulas."""
+    from diffusiondepth_tpu.ops.fused_denoiser import (
+        _sched_bwd,
+        _sched_step,
+        _sched_th,
+        padded_width,
+    )
+
+    B, H, W = 1, 8, 453
+    Wp = padded_width(W)
+    assert _sched_th(H, Wp, 4 + 2 + 4 + 2) == 4
+    assert _sched_th(H, Wp, 4 + 2 + 2 + 4 + 2) == 4
+
+    rng = np.random.RandomState(11)
+    u6 = jnp.asarray(rng.randn(B, H, Wp, 16), jnp.bfloat16)
+    x = jnp.asarray(rng.randn(B, H, Wp, 16), jnp.float32)
+    coefs = jnp.asarray(
+        np.stack(
+            [rng.randn(B, 16) * 0.5 for _ in range(5)]
+            + [np.zeros((B, 16))] * 3,
+            axis=1,
+        ),
+        jnp.float32,
+    )
+    a_t, a_prev = 0.63, 0.89
+    sched = jnp.asarray(
+        [np.sqrt(a_t), np.sqrt(1 - a_t), np.sqrt(a_prev), np.sqrt(1 - a_prev)],
+        jnp.float32,
+    )
+    sa, sb, sp, sq = [jnp.float32(v) for v in np.asarray(sched)]
+    colmask = ((np.arange(Wp) >= 1) & (np.arange(Wp) <= W))[None, None, :, None]
+
+    xp, xpb = _sched_step(u6, x, coefs, sched, W=W, interpret=True)
+
+    bf = jnp.bfloat16
+    a = coefs[:, 0].astype(bf)[:, None, None, :]
+    b = coefs[:, 1].astype(bf)[:, None, None, :]
+    eps = (
+        jnp.maximum(u6 * a + b, bf(0)) * jnp.asarray(colmask, bf)
+    ).astype(jnp.float32)
+    x0 = (x - sb * eps) / sa
+    eps2 = (x - sa * x0) / sb
+    xp_ref = sp * x0 + sq * eps2
+    np.testing.assert_allclose(
+        np.asarray(xp, np.float32), np.asarray(xp_ref, np.float32),
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(xpb, np.float32),
+        np.asarray(xp.astype(bf), np.float32),
+    )
+
+    dxp = jnp.asarray(rng.randn(B, H, Wp, 16), jnp.float32)
+    dxpb = jnp.asarray(rng.randn(B, H, Wp, 16) * 0.1, jnp.bfloat16)
+    dx, t6, ps = _sched_bwd(dxp, dxpb, u6, coefs, sched, W=W, interpret=True)
+
+    dtot = dxp + dxpb.astype(jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(dx, np.float32), np.asarray(dtot * (sp / sa), np.float32),
+        rtol=1e-6, atol=1e-6,
+    )
+    deps = dtot * (sq - sp * sb / sa)
+    pre = u6 * a + b
+    live = jnp.logical_and(pre.astype(jnp.float32) > 0.0, jnp.asarray(colmask))
+    scale3 = coefs[:, 4].astype(bf)[:, None, None, :]
+    t6_ref = jnp.where(live, deps.astype(bf), bf(0)) * scale3
+    np.testing.assert_array_equal(
+        np.asarray(t6, np.float32), np.asarray(t6_ref, np.float32)
+    )
+
+    th = 4
+    assert ps.shape == (B, H // th, 2, 16)
+    inv6 = coefs[:, 2].astype(bf)[:, None, None, :]
+    mean6 = coefs[:, 3].astype(bf)[:, None, None, :]
+    xh6 = (u6 - mean6) * inv6
+    # bf16-level tolerance: with --xla_allow_excess_precision the kernel's
+    # stat sums keep deps at f32 through the elided bf16 round-trip, so they
+    # differ from sums of the materialized (rounded) t6 by ~0.3% (see
+    # _sched_bwd_kernel). Structural errors (wrong tile/mask/block) would be
+    # O(1), far outside this tolerance.
+    blk = lambda v: np.asarray(
+        jnp.sum(v.astype(jnp.float32).reshape(B, H // th, th * Wp, 16), axis=2)
+    )
+    np.testing.assert_allclose(ps[:, :, 0], blk(t6_ref), rtol=2e-2, atol=5e-2)
+    np.testing.assert_allclose(
+        ps[:, :, 1],
+        blk(t6_ref.astype(jnp.float32) * xh6.astype(jnp.float32)),
+        rtol=2e-2, atol=5e-2,
+    )
