@@ -111,20 +111,23 @@ class ScheduledCNNRefine(nn.Module):
             return resize_bilinear(cond, tuple(latent_hw), align_corners=True)
         return cond
 
-    def sampler_step(self, x_f32, x_bf16, t, cond_p, padded_w: int, sched):
+    def sampler_step(self, x_f32, x_bf16, t, cond_p, padded_w: int, sched,
+                     save_u4: bool = True):
         """One whole DDIM sampler step (denoiser + scheduler update) through
         the fused Pallas op — padded layout, (f32, bf16) latent pair; see
         ops/fused_denoiser.py fused_sampler_step. Only called by
         ddim_head._sample when fused_active and the scheduler matches the
-        op's shipped configuration."""
+        op's shipped configuration. ``save_u4`` is the static residual-HBM
+        gate (ops/fused_denoiser.py u4_stack_fits) the head computes from
+        the scan depth."""
         from ...ops.fused_denoiser import fused_sampler_step
 
         assert self.fused_active(x_f32.shape[1])
         te = self.time_embedding(jnp.asarray(t))
         te_b = jnp.broadcast_to(te[None, :], (x_f32.shape[0], te.shape[-1]))
         return fused_sampler_step(
-            int(padded_w), self.variables["params"], x_f32, x_bf16, cond_p,
-            te_b, sched,
+            int(padded_w), bool(save_u4), self.variables["params"], x_f32,
+            x_bf16, cond_p, te_b, sched,
         )
 
     def __call__(
@@ -133,6 +136,7 @@ class ScheduledCNNRefine(nn.Module):
         t,
         cond_latent: jnp.ndarray,
         padded_w: Optional[int] = None,
+        save_u4: bool = True,
     ) -> jnp.ndarray:
         """Predict noise.
 
@@ -142,7 +146,8 @@ class ScheduledCNNRefine(nn.Module):
         ``padded_w``: the sampling scan's padded-layout path — latent and
         condition arrive in the zero-border (B, h, Wp, C) conv layout
         (Wp = padded_width(padded_w)) and eps returns in it. Only valid when
-        the fused Pallas chain is active (ddim_head._sample sets it).
+        the fused Pallas chain is active (ddim_head._sample sets it);
+        ``save_u4`` is that path's static residual-HBM gate.
         """
         te = self.time_embedding(jnp.asarray(t))
         scalar_t = te.ndim == 1
@@ -155,8 +160,8 @@ class ScheduledCNNRefine(nn.Module):
                 te[None, :], (noisy_latent.shape[0], te.shape[-1])
             )
             return fused_denoiser_padded(
-                int(padded_w), self.variables["params"], noisy_latent,
-                cond_latent, te_b,
+                int(padded_w), bool(save_u4), self.variables["params"],
+                noisy_latent, cond_latent, te_b,
             )
 
         if scalar_t and self.fused_active(noisy_latent.shape[1]):

@@ -572,8 +572,23 @@ def _fused_denoiser_bwd(res, ct):
 # defvjp is wired at module end, after fused_denoiser_bwd_chain is defined.
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def fused_denoiser_padded(W, params, latp, condp, te):
+# Residual HBM budget for stacking u4 (the fb-link output) across the
+# sampling scan: at the flagship KITTI train shape (20 steps x bs4 x
+# 176x480x256 bf16 = 3.12 GB) the stack pushed the accum-2 train step past
+# the v5e's 15.75 GB HBM (OOM by 0.67 GB, r3 bench log); below the budget
+# it buys ~2.1 ms/step of backward recompute. Static per-trace choice —
+# eval never materializes residuals, so this only shapes the train step.
+U4_STACK_BUDGET_BYTES = int(1.5e9)
+
+
+def u4_stack_fits(n_steps, b, h, w):
+    """True when saving u4 across an ``n_steps``-deep sampling scan stays
+    inside ``U4_STACK_BUDGET_BYTES`` (shapes are static at trace time)."""
+    return n_steps * b * h * padded_width(w) * 256 * 2 <= U4_STACK_BUDGET_BYTES
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def fused_denoiser_padded(W, save_u4, params, latp, condp, te):
     """Padded-layout fused denoiser for the sampling scan.
 
     ``latp`` (B, H, Wp, 16) and ``condp`` (B, H, Wp, C) arrive in the
@@ -598,7 +613,7 @@ def fused_denoiser_padded(W, params, latp, condp, te):
     )
 
 
-def _fused_denoiser_padded_fwd(W, params, latp, condp, te):
+def _fused_denoiser_padded_fwd(W, save_u4, params, latp, condp, te):
     interpret = jax.default_backend() != "tpu"
     out, it = fused_denoiser_apply(
         params, latp, condp, te, W=W, out_padded=True, interpret=interpret,
@@ -621,25 +636,32 @@ def _fused_denoiser_padded_fwd(W, params, latp, condp, te):
     #    and the sched kernel donates u6's buffer into xpb. The remaining
     #    recompute is ne0/ne1/fa/pr1 (u1..u3 are the 256-ch maps whose
     #    stacks would blow HBM).
+    #  * u4 itself is 3.12 GB over the flagship 20-step bs4 train scan —
+    #    big enough to OOM the accum-2 step (r3 bench log) — so callers
+    #    pass the static ``save_u4`` gate (u4_stack_fits); off, the
+    #    backward recomputes the fb link (~2.1 ms/step).
     B, H, Wp, c16 = latp.shape
     lat_flat = latp.astype(jnp.bfloat16).reshape(B, H, Wp * c16)
     dtok = jnp.zeros((0,), latp.dtype)
     c64 = it["u5"].shape[-1]
     u5_flat = it["u5"].reshape(B, H, Wp * c64)
     g2s = jnp.stack(it["g2"], axis=1)
-    return out, (params, lat_flat, condp, te, it["u4"], u5_flat, g2s, dtok)
+    u4 = it["u4"] if save_u4 else None
+    return out, (params, lat_flat, condp, te, u4, u5_flat, g2s, dtok)
 
 
 def _unstack_saved(u4, u5_flat, g2s, Wp):
     B, H, wc = u5_flat.shape
-    return {
-        "u4": u4,
+    saved = {
         "u5": u5_flat.reshape(B, H, Wp, wc // Wp),
         "g2": tuple(g2s[:, i] for i in range(4)),
     }
+    if u4 is not None:
+        saved["u4"] = u4
+    return saved
 
 
-def _fused_denoiser_padded_bwd(W, res, ct):
+def _fused_denoiser_padded_bwd(W, save_u4, res, ct):
     params, lat_flat, condp, te, u4, u5_flat, g2s, dtok = res
     B, H, wpc = lat_flat.shape
     Wp = condp.shape[2]
@@ -1365,8 +1387,8 @@ def _coefs7(g3, gn3):
     ).astype(jnp.float32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def fused_sampler_step(W, params, x_f32, x_bf16, condp, te, sched):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def fused_sampler_step(W, save_u4, params, x_f32, x_bf16, condp, te, sched):
     """One whole DDIM sampler step (denoiser chain + scheduler update) in the
     padded layout: (x_f32, x_bf16) -> (x'_f32, x'_bf16).
 
@@ -1383,7 +1405,9 @@ def fused_sampler_step(W, params, x_f32, x_bf16, condp, te, sched):
     jnp scheduler otherwise.
 
     VJP residuals: (params, flat bf16 latent, condp, te, u4, sched) — see
-    _fused_denoiser_padded_fwd for the layout arguments. The backward fuses
+    _fused_denoiser_padded_fwd for the layout arguments; the static
+    ``save_u4`` gate (u4_stack_fits) drops the 256-ch u4 stack when it
+    would blow the HBM budget at the scan depth. The backward fuses
     the scheduler transpose AND the chain's virtual link 7 into one kernel
     (_sched_bwd_kernel), then runs the shared link backward chain.
     """
@@ -1407,7 +1431,8 @@ def _sampler_step_impl(W, params, x_f32, x_bf16, condp, te, sched, interpret):
     return (xp, xpb), it
 
 
-def _fused_sampler_step_fwd(W, params, x_f32, x_bf16, condp, te, sched):
+def _fused_sampler_step_fwd(W, save_u4, params, x_f32, x_bf16, condp, te,
+                            sched):
     interpret = jax.default_backend() != "tpu"
     (xp, xpb), it = _sampler_step_impl(
         W, params, x_f32, x_bf16, condp, te, sched, interpret
@@ -1417,11 +1442,12 @@ def _fused_sampler_step_fwd(W, params, x_f32, x_bf16, condp, te, sched):
     c64 = it["u5"].shape[-1]
     u5_flat = it["u5"].reshape(B, H, Wp * c64)
     g2s = jnp.stack(it["g2"], axis=1)
-    return (xp, xpb), (params, lat_flat, condp, te, it["u4"], u5_flat, g2s,
+    u4 = it["u4"] if save_u4 else None
+    return (xp, xpb), (params, lat_flat, condp, te, u4, u5_flat, g2s,
                        sched)
 
 
-def _fused_sampler_step_bwd(W, res, cts):
+def _fused_sampler_step_bwd(W, save_u4, res, cts):
     params, lat_flat, condp, te, u4, u5_flat, g2s, sched = res
     dxp, dxpb = cts
     interpret = jax.default_backend() != "tpu"

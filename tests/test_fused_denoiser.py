@@ -188,12 +188,15 @@ def test_public_custom_vjp_split_cond_te():
     assert dist(kT, tT) < 0.25, dist(kT, tT)
 
 
-def test_padded_layout_entry_point():
+@pytest.mark.parametrize("save_u4", [True, False])
+def test_padded_layout_entry_point(save_u4):
     """fused_denoiser_padded (the sampling scan's zero-border layout path)
     must equal the unpadded public op in both forward and VJP: eps/grads come
     back in the padded layout with exactly-zero border columns, and slicing
     recovers the unpadded op's values bit-for-bit (same kernels, same
-    inputs)."""
+    inputs). save_u4=False exercises the residual-HBM gate's backward
+    recompute of the fb link — bitwise identical, since the saved u4 IS the
+    same kernel's output on the same inputs."""
     from diffusiondepth_tpu.ops.fused_denoiser import (
         fused_denoiser,
         fused_denoiser_padded,
@@ -209,7 +212,7 @@ def test_padded_layout_entry_point():
     lat_p = pad_w(lat.astype(jnp.float32), Wp)  # f32 like the scan carry
     cond_p = pad_w(cond, Wp)
 
-    out_p = fused_denoiser_padded(W, params, lat_p, cond_p, te_b)
+    out_p = fused_denoiser_padded(W, save_u4, params, lat_p, cond_p, te_b)
     out = fused_denoiser(params, lat, cond, te_b)
     assert out_p.shape == (B, H, Wp, 16)
     np.testing.assert_array_equal(
@@ -228,7 +231,7 @@ def test_padded_layout_entry_point():
     )
     ct_p = pad_w(ct, Wp)
     _, vjp_p = jax.vjp(
-        lambda p, l, c, t: fused_denoiser_padded(W, p, l, c, t),
+        lambda p, l, c, t: fused_denoiser_padded(W, save_u4, p, l, c, t),
         params, lat_p, cond_p, te_b,
     )
     _, vjp_u = jax.vjp(fused_denoiser, params, lat, cond, te_b)
@@ -263,7 +266,8 @@ def test_padded_layout_entry_point():
                                       np.asarray(vb, np.float32))
 
 
-def test_fused_sampler_step_matches_composite():
+@pytest.mark.parametrize("save_u4", [True, False])
+def test_fused_sampler_step_matches_composite(save_u4):
     """fused_sampler_step (whole DDIM step: chain + scheduler in Pallas) must
     match the composite fused_denoiser_padded -> step_from_alphas path: the
     forward within f32 rounding of the identical formula, and the VJP within
@@ -293,15 +297,15 @@ def test_fused_sampler_step_matches_composite():
     schedule = DDIMSchedule(clip_sample=False)
 
     def composite(params, x_f32, x_b, cond_p, te_b, sched):
-        eps = fused_denoiser_padded(W, params, x_b, cond_p, te_b)
+        eps = fused_denoiser_padded(W, True, params, x_b, cond_p, te_b)
         xp, _ = schedule.step_from_alphas(
             eps.astype(jnp.float32), x_f32, a_t, a_prev,
             eta=0.0, use_clipped_model_output=True,
         )
         return xp
 
-    xp_f, xpb_f = fused_sampler_step(W, params, x_f32, x_b, cond_p, te_b,
-                                     sched)
+    xp_f, xpb_f = fused_sampler_step(W, save_u4, params, x_f32, x_b, cond_p,
+                                     te_b, sched)
     xp_c = composite(params, x_f32, x_b, cond_p, te_b, sched)
     np.testing.assert_allclose(np.asarray(xp_f, np.float32),
                                np.asarray(xp_c, np.float32),
@@ -317,7 +321,8 @@ def test_fused_sampler_step_matches_composite():
     ct = ct * jnp.asarray(colm)[None, None, :, None]
 
     _, vjp_f = jax.vjp(
-        lambda p, xf, xb, c, t: fused_sampler_step(W, p, xf, xb, c, t, sched),
+        lambda p, xf, xb, c, t: fused_sampler_step(
+            W, save_u4, p, xf, xb, c, t, sched),
         params, x_f32, x_b, cond_p, te_b)
     fP, fXf, fXb, fC, fT = vjp_f((ct, jnp.zeros_like(ct, jnp.bfloat16)))
     # composite only consumes x_b through the chain; route x_f32 through the
@@ -455,3 +460,52 @@ def test_sched_kernels_wide_shape_th4():
         blk(t6_ref.astype(jnp.float32) * xh6.astype(jnp.float32)),
         rtol=2e-2, atol=5e-2,
     )
+
+
+@pytest.mark.slow
+def test_head_scan_u4_gate_grads_bitwise_equal(monkeypatch):
+    """The head-level fused sampling scan (ddim_head._sample whole-step
+    path) with the u4 residual budget forced to 0 — the flagship train
+    shape's configuration, where the backward recomputes the fb link —
+    must produce BITWISE-identical parameter grads to the saving path:
+    the saved u4 is the same kernel's output on the same inputs. Drives
+    the real nn.scan + custom_vjp wiring (interpret mode on CPU; the
+    real-chip twin is tools/tpu_padded_check.py)."""
+    from diffusiondepth_tpu.models.heads.ddim_head import DDIMDepthEstimateHead
+    from diffusiondepth_tpu.models.heads.denoiser import ScheduledCNNRefine
+    from diffusiondepth_tpu.ops import fused_denoiser
+
+    monkeypatch.setattr(ScheduledCNNRefine, "_on_tpu", staticmethod(lambda: True))
+
+    B, GH, GW = 1, 16, 24
+    rng = np.random.RandomState(0)
+    fp = [
+        jnp.asarray(rng.randn(B, 8, 12, 32), jnp.bfloat16),
+        jnp.asarray(rng.randn(B, 4, 6, 64), jnp.bfloat16),
+    ]
+    gt = jnp.asarray(np.clip(rng.rand(B, GH, GW, 1) * 8 + 1, 0, 10),
+                     jnp.float32)
+    init_lat = jnp.asarray(rng.randn(B, 8, 12, 16), jnp.float32)
+    head = DDIMDepthEstimateHead(
+        in_channels=(32, 64), fpn_dim=32, depth_feature_dim=16,
+        inference_steps=2, fuse="upsample_add", dtype=jnp.bfloat16,
+        use_fused_denoiser=True,
+    )
+    vs = head.init(jax.random.PRNGKey(0), fp, gt_depth_map=gt,
+                   init_latent=init_lat)
+
+    def loss(params):
+        out = head.apply({**vs, "params": params}, fp, gt_depth_map=gt,
+                         init_latent=init_lat)
+        return jnp.mean(jnp.square(out["pred"].astype(jnp.float32)))
+
+    g_on = jax.grad(loss)(vs["params"])
+    monkeypatch.setattr(fused_denoiser, "U4_STACK_BUDGET_BYTES", 0)
+    g_off = jax.grad(loss)(vs["params"])
+    for (k, va), (_, vb) in zip(
+        jax.tree_util.tree_flatten_with_path(g_off)[0],
+        jax.tree_util.tree_flatten_with_path(g_on)[0],
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(va, np.float32), np.asarray(vb, np.float32),
+            err_msg=jax.tree_util.keystr(k))
