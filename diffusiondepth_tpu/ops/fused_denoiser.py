@@ -1481,3 +1481,126 @@ def _fused_sampler_step_bwd(W, save_u4, res, cts):
 
 
 fused_sampler_step.defvjp(_fused_sampler_step_fwd, _fused_sampler_step_bwd)
+
+
+# ---------------------------------------------------------------------------
+# eval-only grouped-flat sampling path (no 8x lane-padded HBM traffic)
+# ---------------------------------------------------------------------------
+#
+# The padded (B, H, Wp, 16) layout the training path carries lane-pads 8x in
+# HBM (a (8,128)-tiled bf16 array with a 16-wide minor dim stores 128 lanes
+# per row), so at the bs8 eval shape the scheduler kernel alone moves
+# ~1.35 GB per DDIM step and measured 2.05 ms on the device timeline vs a
+# ~0.2 ms unpadded floor. Inference needs no residuals, so the eval sampler
+# instead rides a GROUPED layout
+#
+#     (B, H, Wp, 16)  -reshape->  (B, H, G, 128),  G = Wp * 16 // 128
+#
+# i.e. lane l of group g holds (w = g*8 + l//16, c = l%16) — a pure XLA
+# reshape (identical values, no relayout of the logical data) that packs 8
+# spatial columns per 128-lane vector and stores the latent UNPADDED. The
+# f32 latent rides the scan as a single grouped array (no bf16 pair: the
+# chain converts on read), and the DDIM update runs as a grouped elementwise
+# Pallas kernel (_flat_ddim_kernel). Mosaic cannot reshape between the
+# grouped and spatial layouts inside a kernel (lane<->sublane relayout), so
+# the boundary crossings are XLA reshapes whose traffic is part of the win:
+# ungroup+bf16-convert feeds the chain (reads 56 MB instead of the padded
+# 225 MB it replaces), group() packs the chain's eps back down.
+#
+# Training keeps the padded (f32, bf16) pair path above unchanged — its
+# custom_vjp residual layouts and backward kernels are tuned for it — so
+# ddim_head._sample selects this path only when not differentiating
+# (train=False; these kernels define no VJP).
+
+
+def group16(x):
+    """(B, H, Wp, C) -> (B, H, Wp*C//128, 128) grouped layout (pure reshape)."""
+    B, H, Wp, C = x.shape
+    assert (Wp * C) % 128 == 0, (Wp, C)
+    return x.reshape(B, H, Wp * C // 128, 128)
+
+
+def ungroup16(xg, c: int):
+    """(B, H, G, 128) -> (B, H, Wp, c) spatial layout (pure reshape)."""
+    B, H, G, L = xg.shape
+    return xg.reshape(B, H, G * L // c, c)
+
+
+def _flat_ddim_kernel(eps_ref, x_ref, scal_ref, xp_ref):
+    eps = eps_ref[0].astype(jnp.float32)
+    x = x_ref[0]
+    sa = scal_ref[0, 0]
+    sb = scal_ref[0, 1]
+    sp = scal_ref[0, 2]
+    sq = scal_ref[0, 3]
+    # exact step_from_alphas math (epsilon prediction, clip_sample=False,
+    # use_clipped_model_output=True, eta=0) — diffusion/ddim.py
+    x0 = (x - sb * eps) / sa
+    eps2 = (x - sa * x0) / sb
+    xp_ref[0] = sp * x0 + sq * eps2
+
+
+@jax.custom_vjp
+def flat_ddim_update(eps_g, x_g, sched):
+    """One DDIM update in the grouped layout: x' = update(eps, x).
+
+    eps_g: (B, H, G, 128) bf16 FINISHED noise prediction (relu(gn3(u6)),
+    grouped); x_g: (B, H, G, 128) f32 latent; sched: (4,) f32
+    [sqrt(a_t), sqrt(1-a_t), sqrt(a_prev), sqrt(1-a_prev)].
+
+    Unlike the padded _sched_step there is no tile-height shrinking: the
+    grouped blocks carry no lane padding, so th=8 streams are ~1 MB. The
+    zero-border invariant holds without masking (the update is multiplicative
+    in (x, eps), both zero in the border lanes).
+
+    Differentiable via the algebraically-exact closed form (the update is
+    LINEAR in (eps, x) given the alphas), so the eval-flat sampling path can
+    be taken under jax.grad — but training deliberately uses the padded
+    whole-step fused_sampler_step instead (better residual layout + fused
+    backward kernels); see ddim_head._sample.
+    """
+    return _flat_ddim_impl(eps_g, x_g, sched)
+
+
+def _flat_ddim_impl(eps_g, x_g, sched):
+    interpret = jax.default_backend() != "tpu"
+    B, H, G, L = x_g.shape
+    th = TH if H % TH == 0 else 1
+    blk = pl.BlockSpec((1, th, G, L), lambda b, t: (b, t, 0, 0))
+    scal = pl.BlockSpec((1, 4), lambda b, t: (0, 0))
+    return pl.pallas_call(
+        _flat_ddim_kernel,
+        grid=(B, H // th),
+        in_specs=[blk, blk, scal],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((B, H, G, L), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * B * H * G * L,
+            bytes_accessed=B * H * G * L * 10,
+            transcendentals=0,
+        ),
+        # x is dead after the update: donate it into x' so the scan carry
+        # updates in place instead of being copied at the while boundary
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(eps_g, x_g, sched.reshape(1, 4))
+
+
+def _flat_ddim_fwd(eps_g, x_g, sched):
+    # 0-sized dtype token restores the eps cotangent dtype in the bwd
+    return _flat_ddim_impl(eps_g, x_g, sched), (sched, jnp.zeros((0,), eps_g.dtype))
+
+
+def _flat_ddim_bwd(res, dxp):
+    # x' = sp*x0 + sq*eps2 with x0 = (x - sb*eps)/sa, eps2 = (x - sa*x0)/sb
+    # is linear: dx'/dx = sp/sa (eps2 terms cancel), dx'/deps = sq - sp*sb/sa.
+    # Plain jnp: the grouped arrays carry no lane padding, so XLA's
+    # elementwise pass runs at bandwidth (no Pallas needed in the backward).
+    sched, eps_tok = res
+    sa, sb, sp, sq = sched[0], sched[1], sched[2], sched[3]
+    dx = dxp * (sp / sa)
+    deps = (dxp * (sq - sp * sb / sa)).astype(eps_tok.dtype)
+    return deps, dx, jnp.zeros_like(sched)
+
+
+flat_ddim_update.defvjp(_flat_ddim_fwd, _flat_ddim_bwd)

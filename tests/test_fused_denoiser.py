@@ -495,8 +495,12 @@ def test_head_scan_u4_gate_grads_bitwise_equal(monkeypatch):
                    init_latent=init_lat)
 
     def loss(params):
-        out = head.apply({**vs, "params": params}, fp, gt_depth_map=gt,
-                         init_latent=init_lat)
+        # train=True: the whole-step pair path (the u4 gate's home) — eval
+        # (train=False) takes the grouped-flat carry path instead
+        out, _ = head.apply({**vs, "params": params}, fp, gt_depth_map=gt,
+                            init_latent=init_lat, train=True,
+                            rngs={"diffusion": jax.random.PRNGKey(1)},
+                            mutable=["batch_stats"])
         return jnp.mean(jnp.square(out["pred"].astype(jnp.float32)))
 
     g_on = jax.grad(loss)(vs["params"])
@@ -509,3 +513,122 @@ def test_head_scan_u4_gate_grads_bitwise_equal(monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(va, np.float32), np.asarray(vb, np.float32),
             err_msg=jax.tree_util.keystr(k))
+
+
+def test_flat_ddim_update_matches_scheduler():
+    """flat_ddim_update (grouped unpadded layout, ops/fused_denoiser.py) must
+    equal step_from_alphas exactly in f32, and its closed-form VJP must match
+    autodiff of the jnp restatement (the update is linear in (eps, x))."""
+    from diffusiondepth_tpu.diffusion.ddim import DDIMSchedule
+    from diffusiondepth_tpu.ops.fused_denoiser import (
+        flat_ddim_update,
+        group16,
+        ungroup16,
+    )
+
+    B, H, Wp = 2, 8, 32
+    rng = np.random.RandomState(4)
+    eps = jnp.asarray(np.maximum(rng.randn(B, H, Wp, 16), 0), jnp.bfloat16)
+    x = jnp.asarray(rng.randn(B, H, Wp, 16), jnp.float32)
+    a_t, a_prev = jnp.float32(0.63), jnp.float32(0.89)
+    sched = jnp.stack([jnp.sqrt(a_t), jnp.sqrt(1 - a_t),
+                       jnp.sqrt(a_prev), jnp.sqrt(1 - a_prev)])
+
+    xg = group16(x)
+    assert xg.shape == (B, H, Wp * 16 // 128, 128)
+    # group/ungroup are pure reshapes: bitwise round-trip
+    np.testing.assert_array_equal(np.asarray(ungroup16(xg, 16)), np.asarray(x))
+
+    out = ungroup16(flat_ddim_update(group16(eps), xg, sched), 16)
+    ref, _ = DDIMSchedule(clip_sample=False).step_from_alphas(
+        eps.astype(jnp.float32), x, a_t, a_prev,
+        eta=0.0, use_clipped_model_output=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+    ct = jnp.asarray(rng.randn(B, H, Wp * 16 // 128, 128) * 0.1, jnp.float32)
+    _, vjp_f = jax.vjp(flat_ddim_update, group16(eps), xg, sched)
+    dE, dX, dS = vjp_f(ct)
+
+    def twin(eps_g, x_g, sched):
+        e = ungroup16(eps_g, 16).astype(jnp.float32)
+        xx = ungroup16(x_g, 16)
+        sa, sb, sp, sq = sched[0], sched[1], sched[2], sched[3]
+        x0 = (xx - sb * e) / sa
+        return group16(sp * x0 + sq * (xx - sa * x0) / sb)
+
+    _, vjp_t = jax.vjp(twin, group16(eps), xg, sched)
+    tE, tX, tS = vjp_t(ct)
+    np.testing.assert_allclose(np.asarray(dX), np.asarray(tX),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dE, np.float32),
+                               np.asarray(tE, np.float32),
+                               rtol=1e-2, atol=1e-3)  # bf16 cotangent
+    assert np.all(np.asarray(dS) == 0)
+
+
+@pytest.mark.slow
+def test_head_eval_flat_path_matches_jnp(monkeypatch):
+    """The eval-only grouped-flat sampling path (ddim_head._sample,
+    train=False) must match the jnp scan within fused-vs-jnp bf16 noise,
+    both forward and under jax.grad (the flat path stays differentiable via
+    flat_ddim_update's closed-form VJP + fused_denoiser_padded's vjp)."""
+    from diffusiondepth_tpu.models.heads.ddim_head import DDIMDepthEstimateHead
+    from diffusiondepth_tpu.models.heads.denoiser import ScheduledCNNRefine
+
+    monkeypatch.setattr(ScheduledCNNRefine, "_on_tpu", staticmethod(lambda: True))
+
+    B, GH, GW = 1, 16, 24
+    rng = np.random.RandomState(7)
+    fp = [
+        jnp.asarray(rng.randn(B, 8, 12, 32), jnp.bfloat16),
+        jnp.asarray(rng.randn(B, 4, 6, 64), jnp.bfloat16),
+    ]
+    gt = jnp.asarray(np.clip(rng.rand(B, GH, GW, 1) * 8 + 1, 0, 10),
+                     jnp.float32)
+    init_lat = jnp.asarray(rng.randn(B, 8, 12, 16), jnp.float32)
+
+    def make(use_fused):
+        return DDIMDepthEstimateHead(
+            in_channels=(32, 64), fpn_dim=32, depth_feature_dim=16,
+            inference_steps=2, fuse="upsample_add", dtype=jnp.bfloat16,
+            use_fused_denoiser=use_fused,
+        )
+
+    head_j, head_f = make(False), make(True)
+    vs = head_j.init(jax.random.PRNGKey(0), fp, gt_depth_map=gt,
+                     init_latent=init_lat)
+
+    pf = np.asarray(head_f.apply(vs, fp, gt_depth_map=gt,
+                                 init_latent=init_lat)["pred"], np.float32)
+    pj = np.asarray(head_j.apply(vs, fp, gt_depth_map=gt,
+                                 init_latent=init_lat)["pred"], np.float32)
+    rel = np.abs(pf - pj).max() / (np.abs(pj).max() + 1e-8)
+    assert np.isfinite(pf).all()
+    assert rel < 0.12, rel
+
+    def loss_of(head):
+        def loss(params):
+            out = head.apply({**vs, "params": params}, fp, gt_depth_map=gt,
+                             init_latent=init_lat)
+            return jnp.mean(jnp.square(out["pred"].astype(jnp.float32)))
+        return loss
+
+    gf = jax.grad(loss_of(head_f))(vs["params"])
+    gj = jax.grad(loss_of(head_j))(vs["params"])
+
+    def dist(a, b):
+        a = np.asarray(a, np.float32).ravel()
+        b = np.asarray(b, np.float32).ravel()
+        return float(np.sqrt(np.mean((a - b) ** 2))
+                     / (np.sqrt(np.mean(b ** 2)) + 1e-8))
+
+    for (k, va), (_, vb) in zip(
+        jax.tree_util.tree_flatten_with_path(gf)[0],
+        jax.tree_util.tree_flatten_with_path(gj)[0],
+    ):
+        ks = jax.tree_util.keystr(k)
+        assert np.isfinite(np.asarray(va, np.float32)).all(), ks
+        d = dist(va, vb)
+        assert d < 0.35, (ks, d)
