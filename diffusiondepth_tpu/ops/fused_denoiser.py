@@ -126,14 +126,32 @@ def _link_kernel(
     # rotate the f32 accumulator into place (Mosaic only supports 32-bit
     # rotates; rolling the bf16 input would need one rotate per (dr, dc)
     # anyway). Circular wrap-around lands in the masked border columns.
+    #
+    # dr-chunking: a contraction narrower than the 128-wide MXU wastes the
+    # array (K=64 runs at 50% utilization — ne1/pr0/pr1 measured ~2x their
+    # FLOP floor), so consecutive dr taps are PACKED along the channel dim:
+    # lhs = [in[dr] ‖ in[dr+1]], rhs = [w[dr] ; w[dr+1]] — the identical
+    # products in one full-width matmul (only the f32 accumulation order
+    # changes). cin=256 keeps chunk=1 (already full-width, today's path).
+    drc = max(1, min(3, 128 // cin))
     acc = jnp.zeros((th, Wp, cout), jnp.float32)
     for dc in range(3):
         part = jnp.zeros((th * Wp, cout), jnp.float32)
-        for dr in range(3):
-            lhs = vin[dr : dr + th].reshape(th * Wp, cin)
+        for dr0 in range(0, 3, drc):
+            ndr = min(drc, 3 - dr0)
+            if ndr == 1:
+                lhs = vin[dr0 : dr0 + th].reshape(th * Wp, cin)
+                rhs = w_ref[dr0, dc]
+            else:
+                lhs = jnp.concatenate(
+                    [vin[dr0 + i : dr0 + i + th] for i in range(ndr)], axis=-1
+                ).reshape(th * Wp, ndr * cin)
+                rhs = jnp.concatenate(
+                    [w_ref[dr0 + i, dc] for i in range(ndr)], axis=0
+                )
             part = part + jax.lax.dot_general(
                 lhs,
-                w_ref[dr, dc],
+                rhs,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
