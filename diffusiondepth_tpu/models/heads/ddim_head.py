@@ -234,7 +234,9 @@ class DDIMDepthEstimateHead(nn.Module):
                     def step_fn(mdl, xg, cond_p, xs):
                         t, sched = xs
                         x_pb = ungroup16(xg, c).astype(jnp.bfloat16)
-                        eps_p = mdl.model(x_pb, t, cond_p, padded_w=w)
+                        eps_p = mdl.model(
+                            x_pb, t, cond_p, padded_w=w, save_u4=save_u4
+                        )
                         xg = flat_ddim_update(group16(eps_p), xg, sched)
                         return xg, (
                             ungroup16(xg, c)[:, :, 1 : w + 1, :]

@@ -1323,10 +1323,20 @@ def _sched_th(H: int, Wp: int, stream_bytes: int) -> int:
     when its streams were 11.4 MB (th=8, compile-time OOM by 140 KB), a
     ~1.4x overhead. th is dim -3 of the block so any value is tile-free
     ((8,128) tiling pads the LAST two dims, (Wp, 16))."""
-    th = TH
-    while th > 1 and th * Wp * 128 * stream_bytes * 2 > 9e6 and H % (th // 2) == 0:
-        th //= 2
-    assert H % th == 0, (H, th)
+    def fits(t: int) -> bool:
+        return t * Wp * 128 * stream_bytes * 2 <= 9e6
+
+    # largest divisor of H that is <= TH and fits the stream budget (halving
+    # alone can strand on a non-divisible half with the budget still blown,
+    # e.g. odd H at a wide Wp)
+    th = max((t for t in range(1, min(TH, H) + 1) if H % t == 0 and fits(t)),
+             default=0)
+    if th == 0:
+        raise ValueError(
+            f"scheduler-kernel streams do not fit scoped VMEM even at th=1: "
+            f"H={H} Wp={Wp} stream_bytes={stream_bytes} "
+            f"(row cost {Wp * 128 * stream_bytes * 2 / 1e6:.2f} MB > 9 MB)"
+        )
     return th
 
 

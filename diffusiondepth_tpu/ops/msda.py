@@ -173,6 +173,11 @@ class MultiScaleDeformableAttention(nn.Module):
         # multi_scale_deform_attn.py MultiScaleDeformableAttention.forward)
         # and only then uses the per-level slices; when runtime L < L_cfg the
         # used weights therefore sum to < 1.  Softmax first, slice after.
+        # NOTE: mmcv itself ERRORS outright when runtime L != its configured
+        # num_levels (value_spatial_shapes assert), so the L < L_cfg case has
+        # no runnable reference behavior — this is an extrapolation of mmcv's
+        # op ORDER to that config, not measured parity (at L == L_cfg, the
+        # only runnable case, the two are exact).
         attn = nn.Dense(
             heads * L_cfg * P,
             kernel_init=nn.initializers.zeros,
