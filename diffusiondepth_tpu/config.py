@@ -91,6 +91,14 @@ class Config:
     num_train_timesteps: int = 1000
     # 'uniform' (scheduling_ddim) | 'biased' (scheduling_ddim_si SI table)
     timestep_schedule: str = "uniform"
+    # ip_basic densification of the sparse depth_map before the model (the
+    # reference's Diffusion_DCbase_Model(ip_basic=True) branch,
+    # diffusion_dcbase_model.py:96-115 — constructor-only there, and broken
+    # at runtime: undefined `N`, tuple return from fill_in_multiscale. Here
+    # it is a CLI flag applied host-side in the datasets, the working form
+    # of the same capability: depth_map*mask, clamp to [0,100], then
+    # fill_in_multiscale per sample.)
+    ip_basic: bool = False
 
     # ---- Training (reference src/config.py:146-203) ----
     loss: str = "1.0*L1+1.0*L2+1.0*DDIM"
@@ -243,6 +251,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_train_timesteps", type=int, default=d.num_train_timesteps)
     p.add_argument("--timestep_schedule", type=str, default=d.timestep_schedule,
                    choices=("uniform", "biased"))
+    p.add_argument("--ip_basic", action="store_true", default=False,
+                   help="densify the sparse depth_map with ip_basic "
+                   "fill_in_multiscale host-side (the reference's "
+                   "constructor-only ip_basic=True branch, "
+                   "diffusion_dcbase_model.py:96-115)")
     # Training
     p.add_argument("--loss", type=str, default=d.loss)
     p.add_argument("--opt_level", type=str, default=d.opt_level,

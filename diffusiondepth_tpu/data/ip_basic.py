@@ -199,3 +199,20 @@ def fill_in_multiscale(
     valid = out > 0.1
     out[valid] = max_depth - out[valid]
     return out, None
+
+
+def densify_depth_map(depth_map: np.ndarray, depth_mask: np.ndarray) -> np.ndarray:
+    """The model-level ip_basic branch, host-side: mask, clamp to [0, 100],
+    then ``fill_in_multiscale`` (reference
+    diffusion_dcbase_model.py:96-110 ``_extract_depth_ipbasic`` — which is
+    constructor-only there and broken at runtime [undefined ``N``, tuple
+    return]; this is the working form the datasets apply under
+    ``--ip_basic``). Accepts (H, W) or (H, W, 1); returns the same shape."""
+    dm = np.float32(depth_map)
+    mask = np.float32(depth_mask).reshape(dm.shape)
+    chan = dm.ndim == 3
+    if chan:
+        dm, mask = dm[..., 0], mask[..., 0]
+    dm = np.clip(dm * mask, 0.0, 100.0)
+    out, _ = fill_in_multiscale(dm)
+    return out[..., None] if chan else out

@@ -184,6 +184,12 @@ class KITTIDC:
         # KITTI keeps the raw sparse map as depth_map (completion commented
         # out in the reference, :269)
         depth_map = dep_np.copy()
+        if getattr(self.args, "ip_basic", False):
+            # the reference's model-level ip_basic=True densification branch
+            # (diffusion_dcbase_model.py:96-115), applied host-side
+            from .ip_basic import densify_depth_map
+
+            depth_map = densify_depth_map(depth_map, depth_mask)
 
         return {
             "rgb": rgb_np,

@@ -103,7 +103,15 @@ class NYU:
         dep_sp = T.sparse_sample(dep_np, self.args.num_sample, rng)
 
         depth_mask = (dep_sp > 0).astype(np.float32)
-        depth_map, _ = simple_depth_completion(dep_sp[..., 0])
+        if getattr(self.args, "ip_basic", False):
+            # the reference's model-level ip_basic=True densification branch
+            # (diffusion_dcbase_model.py:96-115) replaces the scanline-
+            # completed depth_map, applied host-side
+            from .ip_basic import densify_depth_map
+
+            depth_map = densify_depth_map(dep_sp[..., 0], depth_mask[..., 0])
+        else:
+            depth_map, _ = simple_depth_completion(dep_sp[..., 0])
 
         return {
             "rgb": rgb_np,

@@ -29,11 +29,18 @@ class Synthetic:
         rgb = np.stack([gt / gt.max()] * 3, -1) + 0.1 * rng.randn(h, w, 3)
         gt = gt[..., None]
         dep = gt * (rng.rand(h, w, 1) > 0.95)
+        depth_mask = (dep > 0).astype(np.float32)
+        depth_map = dep.astype(np.float32)
+        if getattr(self.args, "ip_basic", False):
+            # same host-side densification hook as the real datasets
+            from .ip_basic import densify_depth_map
+
+            depth_map = densify_depth_map(depth_map, depth_mask)
         return {
             "rgb": rgb.astype(np.float32),
             "dep": dep.astype(np.float32),
             "gt": gt.astype(np.float32),
             "K": np.asarray([500.0, 500.0, w / 2, h / 2], np.float32),
-            "depth_mask": (dep > 0).astype(np.float32),
-            "depth_map": dep.astype(np.float32),
+            "depth_mask": depth_mask,
+            "depth_map": depth_map,
         }

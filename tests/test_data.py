@@ -354,6 +354,35 @@ def test_loader_sharding_and_batching():
     assert len(seen) == 16
 
 
+def test_ip_basic_flag_densifies_depth_map():
+    """--ip_basic flips on the reference's model-level densification branch
+    (diffusion_dcbase_model.py:96-115), applied host-side in the datasets:
+    the depth_map the model sees is fill_in_multiscale(clip(dm*mask, 0, 100))
+    of the sparse map, so its valid coverage grows while the sparse points'
+    depth range is preserved."""
+    from diffusiondepth_tpu.data.ip_basic import densify_depth_map
+
+    cfg = Config(data_name="Synthetic", patch_height=64, patch_width=96,
+                 ip_basic=True).finalize()
+    ds = get_data(cfg)(cfg, "train")
+    sample = ds.__getitem__(3, seed=11)
+
+    cfg_off = Config(data_name="Synthetic", patch_height=64, patch_width=96).finalize()
+    sparse = get_data(cfg_off)(cfg_off, "train").__getitem__(3, seed=11)
+
+    dm, dm_sparse = sample["depth_map"], sparse["depth_map"]
+    assert dm.shape == dm_sparse.shape
+    # densified: far more valid pixels than the ~5% sparse input
+    assert (dm > 0.1).mean() > 3 * (dm_sparse > 0.1).mean()
+    # and exactly the shared helper's output on that sparse map
+    expect = densify_depth_map(dm_sparse, sparse["depth_mask"])
+    np.testing.assert_allclose(dm, expect)
+    # flag exists on the CLI mirror
+    from diffusiondepth_tpu.config import parse_args
+    assert parse_args(["--ip_basic"]).ip_basic is True
+    assert parse_args([]).ip_basic is False
+
+
 def test_loader_epoch_reshuffle():
     cfg = Config(data_name="Synthetic", patch_height=16, patch_width=16).finalize()
     ds = get_data(cfg)(cfg, "train")
