@@ -152,6 +152,10 @@ class Config:
     # flagship stage shapes on v5e (tools/bench_window_attention.py table in
     # README); kept for shapes/hardware where VMEM-residency wins.
     use_pallas: bool = False
+    # v3 fused-input window-attention kernel at inference (default ON):
+    # consumes the qkv Dense output directly, measured 1.37-1.66x XLA at
+    # every flagship stage shape (tools/bench_window_attention_v3.py)
+    fused_window_attention: bool = True
     # Rematerialise Swin blocks in the training backward (memory for compute;
     # turn off when the micro-batch leaves HBM headroom)
     remat_backbone: bool = True
@@ -302,6 +306,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--tta_flip", action="store_true", default=False)
     p.add_argument("--use_pallas", action="store_true", default=False)
+    p.add_argument("--no_fused_window_attention", dest="fused_window_attention",
+                   action="store_false", default=True)
     p.add_argument("--no_remat_backbone", dest="remat_backbone",
                    action="store_false", default=True)
     p.add_argument("--no_fused_denoiser", dest="fused_denoiser",

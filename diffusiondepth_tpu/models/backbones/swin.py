@@ -110,19 +110,37 @@ class WindowMSA(nn.Module):
     attn_drop_rate: float = 0.0
     proj_drop_rate: float = 0.0
     use_pallas: bool = False
+    # v3 fused-input kernel (ops/window_attention.py
+    # window_attention_qkv_pallas): consumes the qkv Dense output
+    # (B, nW, N, 3C) directly, so the (B,nW,N,3,H,D) reshape+copy relayout
+    # (27% of the XLA Swin forward, r4 profile) never touches HBM, and
+    # QK+bias+mask+f32 softmax+AV stay in VMEM. Default ON on TPU: measured
+    # 1.37-1.42x the XLA composition at every train stage and 1.57-1.66x at
+    # the eval shapes (tools/bench_window_attention_v3.py). Train goes
+    # through the custom_vjp twin (window_attention_qkv_train) whose
+    # backward is a hand-written flash-style kernel, unless attention
+    # dropout is configured.
+    fused_qkv_attention: bool = True
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[np.ndarray], train: bool):
-        """x: (B, nW, N, C); mask: (nW, N, N) constant or None."""
-        b, nw, n, c = x.shape
+        """x: (B, nW, N, C) window-major, or (B, nH, wh, nW, ww, C) — a pure
+        RESHAPE of the padded grid (the zero-transpose path: window
+        partition/reverse never materialize; the windowing lives in the
+        attention einsums' dimension structure instead).
+        mask: (nW_total, N, N) constant or None."""
+        grid = x.ndim == 6
+        if grid:
+            b, gh, wh, gw, ww, c = x.shape
+            n = wh * ww
+        else:
+            b, nw, n, c = x.shape
         head_dim = self.embed_dims // self.num_heads
         scale = self.qk_scale or head_dim ** -0.5
 
         qkv = nn.Dense(self.embed_dims * 3, use_bias=self.qkv_bias,
                        dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b, nw, n, 3, self.num_heads, head_dim)
-        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
 
         # relative position bias
         table = self.param(
@@ -134,6 +152,65 @@ class WindowMSA(nn.Module):
         idx = relative_position_index(*self.window_size)
         bias = table[jnp.asarray(idx.reshape(-1))].reshape(n, n, self.num_heads)
         bias_hnn = bias.transpose(2, 0, 1)
+
+        # v3 fused-input kernel: takes the un-reshaped qkv (B, nW, N, 3C).
+        # Train uses the custom_vjp twin (flash-style backward kernel that
+        # recomputes the attention probabilities in VMEM; residual = qkv
+        # only) unless attention dropout is configured (the kernel has no
+        # in-VMEM dropout; the flagship configs all run attn_drop_rate 0).
+        if (
+            not grid
+            and self.fused_qkv_attention
+            and not self.use_pallas
+            and (not train or self.attn_drop_rate == 0)
+            and jax.default_backend() == "tpu"
+        ):
+            from ...ops.window_attention import (
+                window_attention_qkv_pallas,
+                window_attention_qkv_train,
+            )
+
+            if train:
+                out = window_attention_qkv_train(
+                    qkv, bias_hnn.astype(jnp.float32), mask, scale,
+                    self.num_heads,
+                )
+            else:
+                out = window_attention_qkv_pallas(
+                    qkv, bias_hnn.astype(jnp.float32), mask, scale,
+                    self.num_heads,
+                )
+            out = nn.Dense(self.embed_dims, dtype=self.dtype, name="proj")(out)
+            if train and self.proj_drop_rate > 0:
+                out = nn.Dropout(self.proj_drop_rate, deterministic=False)(out)
+            return out
+
+        qkv = qkv.reshape(qkv.shape[:-1] + (3, self.num_heads, head_dim))
+        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+
+        if grid:
+            # windows stay implicit grid axes: QK^T and AV carry the
+            # (row-window, in-window) dim pairs directly, softmax runs on the
+            # (..., N, N) reshape (contiguous, free). Same params/math as the
+            # window-major path; only the data movement differs.
+            q = q * scale
+            attn = jnp.einsum("byqYQhd,bykYKhd->byYhqQkK", q, k,
+                              preferred_element_type=jnp.float32)
+            attn = attn.reshape(b, gh, gw, self.num_heads, n, n)
+            attn = attn + bias_hnn[None, None, None].astype(jnp.float32)
+            if mask is not None:
+                m6 = jnp.asarray(mask, jnp.float32).reshape(gh, gw, n, n)
+                attn = attn + m6[None, :, :, None]
+            attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+            if train and self.attn_drop_rate > 0:
+                attn = nn.Dropout(self.attn_drop_rate, deterministic=False)(attn)
+            attn = attn.reshape(b, gh, gw, self.num_heads, wh, ww, wh, ww)
+            out = jnp.einsum("byYhqQkK,bykYKhd->byqYQhd", attn, v)
+            out = out.reshape(b, gh, wh, gw, ww, c)
+            out = nn.Dense(self.embed_dims, dtype=self.dtype, name="proj")(out)
+            if train and self.proj_drop_rate > 0:
+                out = nn.Dropout(self.proj_drop_rate, deterministic=False)(out)
+            return out
 
         use_fused = (
             self.use_pallas and not train and jax.default_backend() == "tpu"
@@ -153,6 +230,12 @@ class WindowMSA(nn.Module):
             )
             out = out.transpose(0, 1, 3, 2, 4).reshape(b, nw, n, c)
         else:
+            # NOTE (r4 A/B, tools/bench_swin_profile.py): asking the QK
+            # einsum for f32 logits (preferred_element_type) REGRESSED the
+            # fwd 43.7 -> 53.4 ms/iter at 352x906 bs4 — XLA already fuses
+            # the bf16->f32 convert into the softmax reduces, and the f32
+            # dot output forces a worse matmul tiling. Keep bf16 logits +
+            # astype, exactly this formulation.
             q = q * scale
             attn = jnp.einsum("bwqhd,bwkhd->bwhqk", q, k)
             attn = attn + bias_hnn[None, None].astype(attn.dtype)
@@ -184,6 +267,14 @@ class SwinBlock(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     use_pallas: bool = False
+    # A/B'd OFF (r4, tools/bench_swin_profile.py): the zero-transpose
+    # grid-einsum path (window partition/reverse as pure reshapes, window
+    # structure carried in 8-D einsum dims) measured 4.6x SLOWER on v5e —
+    # XLA lowers the multi-dim-free dots into divide_convert fusions with
+    # catastrophic layouts (fwd 203 vs 44 ms/iter at 352x906 bs4). Kept for
+    # re-evaluation on future compiler versions.
+    grid_einsum: bool = False
+    fused_qkv_attention: bool = True
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -207,8 +298,7 @@ class SwinBlock(nn.Module):
         else:
             mask = None
 
-        wins = window_partition(y, ws)
-        wins = WindowMSA(
+        attn_mod = WindowMSA(
             embed_dims=self.embed_dims,
             num_heads=self.num_heads,
             window_size=(ws, ws),
@@ -217,10 +307,16 @@ class SwinBlock(nn.Module):
             attn_drop_rate=self.attn_drop_rate,
             proj_drop_rate=self.drop_rate,
             use_pallas=self.use_pallas,
+            fused_qkv_attention=self.fused_qkv_attention,
             dtype=self.dtype,
             name="attn",
-        )(wins, mask, train)
-        y = window_reverse(wins, ws, h_pad, w_pad)
+        )
+        if self.grid_einsum and not self.use_pallas:
+            y6 = y.reshape(b, h_pad // ws, ws, w_pad // ws, ws, c)
+            y = attn_mod(y6, mask, train).reshape(b, h_pad, w_pad, c)
+        else:
+            wins = attn_mod(window_partition(y, ws), mask, train)
+            y = window_reverse(wins, ws, h_pad, w_pad)
 
         if shift > 0:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
@@ -310,6 +406,8 @@ class SwinTransformer(nn.Module):
     # v5e; remat trades one extra forward per block for fitting the step
     remat: bool = True
     use_pallas: bool = False
+    grid_einsum: bool = False  # measured 4.6x slower on v5e; see SwinBlock
+    fused_qkv_attention: bool = True  # v3 kernel at inference; see SwinBlock
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -344,6 +442,8 @@ class SwinTransformer(nn.Module):
                     attn_drop_rate=self.attn_drop_rate,
                     drop_path_rate=dpr[cur + bidx],
                     use_pallas=self.use_pallas,
+                    grid_einsum=self.grid_einsum,
+                    fused_qkv_attention=self.fused_qkv_attention,
                     dtype=self.dtype,
                     name=f"stage{i}_block{bidx}",
                 )(x, train)
@@ -360,7 +460,8 @@ class SwinTransformer(nn.Module):
         return outs
 
 
-def _swin_large(dtype=None, use_pallas=False, remat=True):
+def _swin_large(dtype=None, use_pallas=False, remat=True,
+                fused_qkv_attention=True):
     return SwinTransformer(
         embed_dims=192,
         patch_size=4,
@@ -371,45 +472,53 @@ def _swin_large(dtype=None, use_pallas=False, remat=True):
         out_indices=(0, 1, 2, 3),
         use_pallas=use_pallas,
         remat=remat,
+        fused_qkv_attention=fused_qkv_attention,
         dtype=dtype,
     )
 
 
 @BACKBONES.register(name="swin_large_naive_nopretrain")
-def swin_large_naive_nopretrain(dtype=None, use_pallas=False, remat=True):
-    return _swin_large(dtype, use_pallas, remat)
+def swin_large_naive_nopretrain(dtype=None, use_pallas=False, remat=True,
+                                fused_qkv_attention=True):
+    return _swin_large(dtype, use_pallas, remat, fused_qkv_attention)
 
 
 @BACKBONES.register(name="swin_large_naive_l4w722422k")
-def swin_large_naive_l4w722422k(dtype=None, use_pallas=False, remat=True):
+def swin_large_naive_l4w722422k(dtype=None, use_pallas=False, remat=True,
+                                fused_qkv_attention=True):
     """Swin-L, ImageNet-22k pretrain in the reference (:796-810). Pretrained
     weights load via utils/convert_torch_checkpoint.py when a .pth is
     available; architecture is identical either way."""
-    return _swin_large(dtype, use_pallas, remat)
+    return _swin_large(dtype, use_pallas, remat, fused_qkv_attention)
 
 
 @BACKBONES.register(name="swin_large_naive_swinlargepreatrain_add")
 def swin_large_naive_swinlargepreatrain_add(dtype=None, use_pallas=False,
-                                            remat=True):
-    return _swin_large(dtype, use_pallas, remat)
+                                            remat=True,
+                                            fused_qkv_attention=True):
+    return _swin_large(dtype, use_pallas, remat, fused_qkv_attention)
 
 
 @BACKBONES.register(name="swin_tiny")
-def swin_tiny(dtype=None, use_pallas=False, remat=True):
+def swin_tiny(dtype=None, use_pallas=False, remat=True,
+              fused_qkv_attention=True):
     """Swin-T (for fast tests / BASELINE config #2)."""
     return SwinTransformer(
         embed_dims=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24),
-        use_pallas=use_pallas, remat=remat, dtype=dtype,
+        use_pallas=use_pallas, remat=remat,
+        fused_qkv_attention=fused_qkv_attention, dtype=dtype,
     )
 
 
 @BACKBONES.register(name="swin_micro")
-def swin_micro(dtype=None, use_pallas=False, remat=True):
+def swin_micro(dtype=None, use_pallas=False, remat=True,
+               fused_qkv_attention=True):
     """Minimal Swin for CI / the multi-chip dryrun: every layer type of the
     flagship backbone (patch embed, plain + shifted window MSA, patch merging,
     per-stage norms) at a size that compiles in seconds on a 1-core CPU host.
     Pyramid channels (32, 64, 128, 256)."""
     return SwinTransformer(
         embed_dims=32, depths=(1, 2, 1, 1), num_heads=(1, 2, 4, 8),
-        use_pallas=use_pallas, remat=remat, dtype=dtype,
+        use_pallas=use_pallas, remat=remat,
+        fused_qkv_attention=fused_qkv_attention, dtype=dtype,
     )

@@ -48,6 +48,10 @@ class Diffusion_DCbase_Model(nn.Module):
     # measured SLOWER than XLA at the flagship shapes - see
     # tools/bench_window_attention.py and ops/window_attention.py docstring)
     use_pallas: bool = False
+    # v3 fused-input window-attention kernel at inference (default ON;
+    # measured 1.37-1.66x XLA at every flagship stage shape,
+    # tools/bench_window_attention_v3.py)
+    fused_window_attention: bool = True
     # Rematerialise Swin blocks under grad. True = fits Swin-L training at
     # micro-batch 8 in 16 GB HBM; False trades memory for skipping the remat
     # re-forward (faster when the micro-batch leaves HBM headroom, e.g.
@@ -66,6 +70,7 @@ class Diffusion_DCbase_Model(nn.Module):
 
             bb_kwargs["use_pallas"] = self.use_pallas
             bb_kwargs["remat"] = self.remat_backbone
+            bb_kwargs["fused_qkv_attention"] = self.fused_window_attention
         elif self.backbone_module == "mpvit":
             from .backbones import mpvit  # noqa: F401
         self.depth_backbone = BACKBONES.get(self.backbone_name)(
@@ -139,6 +144,8 @@ def build_model(cfg) -> nn.Module:
             head_in_channels=hic,
             use_pallas=bool(getattr(cfg, "use_pallas", False))
             and cfg.backbone_module == "swin",
+            fused_window_attention=bool(
+                getattr(cfg, "fused_window_attention", True)),
             remat_backbone=bool(getattr(cfg, "remat_backbone", True)),
             use_fused_denoiser=bool(getattr(cfg, "fused_denoiser", True)),
             dtype=cfg.compute_dtype if cfg.dtype == "bfloat16" else None,

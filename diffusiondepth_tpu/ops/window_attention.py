@@ -200,6 +200,366 @@ def window_attention_pallas(
     return out[:, :nw, :, :n, :]
 
 
+def window_attention_qkv_reference(
+    qkv: jnp.ndarray,
+    bias: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    scale: float,
+    num_heads: int,
+) -> jnp.ndarray:
+    """Spec for the v3 fused-input kernel: qkv (B, nW, N, 3C) exactly as the
+    qkv Dense produces it (channel order [q|k|v] x [head] x [d]); returns
+    (B, nW, N, C). Mathematically identical to the WindowMSA jnp path."""
+    b, nw, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    q6 = qkv.reshape(b, nw, n, 3, num_heads, d)
+    q, k, v = q6[..., 0, :, :], q6[..., 1, :, :], q6[..., 2, :, :]
+    attn = jnp.einsum("bwqhd,bwkhd->bwhqk", q * scale, k)
+    attn = attn + bias[None, None].astype(attn.dtype)
+    if mask is not None:
+        attn = attn + jnp.asarray(mask, attn.dtype)[None, :, None]
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(qkv.dtype)
+    return jnp.einsum("bwhqk,bwkhd->bwqhd", attn, v).reshape(b, nw, n, c)
+
+
+def _qkv_core(qkv, bias_ref, mask, o_ref, *, scale, num_heads, n_valid):
+    """One (batch, window-tile) block: qkv (T, N, 3C) in the Dense output
+    layout — per-head lane slices replace the (B,nW,N,3,H,D) reshape+copy
+    that costs 27% of the XLA Swin forward (r4 profile,
+    tools/bench_swin_profile.py: the einsum path relayouts q/k/v to
+    N-on-lanes in HBM; here the relayout happens on VMEM-resident slices).
+    All of QK^T + bias/mask + f32 softmax + AV stay in VMEM: the (..., N, N)
+    attention tensor never touches HBM."""
+    t, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+
+    # padded key columns (n_valid..n) get -inf before the softmax
+    col = jax.lax.broadcasted_iota(jnp.int32, (t, n, n), dimension=2)
+    colmask = jnp.where(col < n_valid, 0.0, -1e30).astype(jnp.float32)
+    if mask is not None:
+        colmask = colmask + mask.astype(jnp.float32)
+
+    for h in range(num_heads):
+        q = qkv[:, :, h * d:(h + 1) * d]
+        k = qkv[:, :, c + h * d:c + (h + 1) * d]
+        v = qkv[:, :, 2 * c + h * d:2 * c + (h + 1) * d]
+        attn = jax.lax.dot_general(
+            (q * jnp.asarray(scale, q.dtype)), k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (T, N, N) f32
+        attn = attn + bias_ref[h].astype(jnp.float32)[None] + colmask
+        attn = attn - jnp.max(attn, axis=-1, keepdims=True)
+        attn = jnp.exp(attn)
+        attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            attn.astype(v.dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, :, h * d:(h + 1) * d] = out.astype(o_ref.dtype)
+
+
+def _qkv_kernel_masked(qkv_ref, bias_ref, mask_ref, o_ref, *, scale,
+                       num_heads, n_valid):
+    _qkv_core(qkv_ref[0], bias_ref, mask_ref[...], o_ref, scale=scale,
+              num_heads=num_heads, n_valid=n_valid)
+
+
+def _qkv_kernel_nomask(qkv_ref, bias_ref, o_ref, *, scale, num_heads,
+                       n_valid):
+    _qkv_core(qkv_ref[0], bias_ref, None, o_ref, scale=scale,
+              num_heads=num_heads, n_valid=n_valid)
+
+
+def _pick_qkv_tile(nw: int, n: int, c: int, num_heads: int,
+                   itemsize: int = 2,
+                   vmem_budget: int = 8 * 1024 * 1024) -> int:
+    """Largest window tile whose streams + f32 logits fit the budget
+    (9 MB-style scoped-vmem rule from the fused-denoiser work: Mosaic's
+    f32 temporaries roughly double the raw stream estimate)."""
+    n_pad = _round_up(n, 8)
+
+    def footprint(t):
+        io = (3 + 1) * t * n_pad * c * itemsize * 2   # qkv + out, double-buf
+        logits = 2 * t * n_pad * _round_up(n, 128) * 4  # attn + softmax tmp
+        bias = num_heads * n_pad * _round_up(n, 128) * 4
+        mask = t * n_pad * _round_up(n, 128) * 4 * 2
+        return io + logits + bias + mask
+
+    t = 1
+    while t * 2 <= min(64, nw) and footprint(t * 2) <= vmem_budget:
+        t *= 2
+    return t
+
+
+def window_attention_qkv_pallas(
+    qkv: jnp.ndarray,
+    bias: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    scale: float,
+    num_heads: int,
+    win_tile: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """v3 fused kernel. qkv (B, nW, N, 3C) straight from the Dense;
+    bias (H, N, N) f32; mask (nW, N, N) per-phase constant or None."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, nw, n, c3 = qkv.shape
+    c = c3 // 3
+    if win_tile is None:
+        win_tile = _pick_qkv_tile(nw, n, c, num_heads)
+    nw_pad = _round_up(nw, win_tile)
+    if nw_pad != nw:
+        qkv = jnp.pad(qkv, ((0, 0), (0, nw_pad - nw), (0, 0), (0, 0)))
+
+    grid = (b, nw_pad // win_tile)
+    qkv_spec = pl.BlockSpec((1, win_tile, n, c3), lambda ib, iw: (ib, iw, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((num_heads, n, n), lambda ib, iw: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, win_tile, n, c), lambda ib, iw: (ib, iw, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, nw_pad, n, c), qkv.dtype)
+    bias_f = jnp.asarray(bias, jnp.float32)
+
+    if mask is not None:
+        mask_p = jnp.asarray(mask, jnp.float32)
+        if nw_pad != nw:
+            mask_p = jnp.pad(mask_p, ((0, nw_pad - nw), (0, 0), (0, 0)))
+        mask_spec = pl.BlockSpec((win_tile, n, n), lambda ib, iw: (iw, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(_qkv_kernel_masked, scale=scale,
+                              num_heads=num_heads, n_valid=n),
+            grid=grid,
+            in_specs=[qkv_spec, bias_spec, mask_spec],
+            out_specs=out_spec, out_shape=out_shape, interpret=interpret,
+        )(qkv, bias_f, mask_p)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_qkv_kernel_nomask, scale=scale,
+                              num_heads=num_heads, n_valid=n),
+            grid=grid,
+            in_specs=[qkv_spec, bias_spec],
+            out_specs=out_spec, out_shape=out_shape, interpret=interpret,
+        )(qkv, bias_f)
+    return out[:, :nw]
+
+
+def _qkv_bwd_core(qkv, bias_ref, mask, do, dqkv_ref, db_ref, *, scale,
+                  num_heads, n_valid, first_block):
+    """Backward of one (batch, window-tile) block: recomputes the f32
+    attention probabilities in VMEM (flash-style — nothing from the forward
+    is read back from HBM except qkv itself), then the four chain dots.
+    dbias accumulates across the sequential grid into the (H, N, N) output
+    block (constant index_map; TPU grids execute in order)."""
+    from jax.experimental import pallas as pl
+
+    t, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (t, n, n), dimension=2)
+    colmask = jnp.where(col < n_valid, 0.0, -1e30).astype(jnp.float32)
+    if mask is not None:
+        colmask = colmask + mask.astype(jnp.float32)
+
+    if first_block is not None:
+        @pl.when(first_block)
+        def _():
+            db_ref[...] = jnp.zeros(db_ref.shape, db_ref.dtype)
+
+    for h in range(num_heads):
+        q = qkv[:, :, h * d:(h + 1) * d]
+        k = qkv[:, :, c + h * d:c + (h + 1) * d]
+        v = qkv[:, :, 2 * c + h * d:2 * c + (h + 1) * d]
+        doh = do[:, :, h * d:(h + 1) * d]
+
+        attn = jax.lax.dot_general(
+            (q * jnp.asarray(scale, q.dtype)), k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) + bias_ref[h].astype(jnp.float32)[None] + colmask
+        attn = attn - jnp.max(attn, axis=-1, keepdims=True)
+        attn = jnp.exp(attn)
+        p = attn / jnp.sum(attn, axis=-1, keepdims=True)  # (T, Nq, Nk) f32
+        p_lo = p.astype(v.dtype)
+
+        # dV[m, d] = sum_q p[q, m] * dO[q, d]
+        dv = jax.lax.dot_general(
+            p_lo, doh,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        # dP[q, m] = sum_d dO[q, d] * V[m, d]
+        dp = jax.lax.dot_general(
+            doh, v,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # f32
+        ds_lo = ds.astype(q.dtype)
+        dq = jax.lax.dot_general(
+            ds_lo, k,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dk = jax.lax.dot_general(
+            ds_lo, q,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+        dqkv_ref[0, :, :, h * d:(h + 1) * d] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, :, c + h * d:c + (h + 1) * d] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, :, 2 * c + h * d:2 * c + (h + 1) * d] = (
+            dv.astype(dqkv_ref.dtype))
+        db_ref[h] += jnp.sum(ds, axis=0)
+
+
+def _qkv_bwd_kernel_masked(qkv_ref, bias_ref, mask_ref, do_ref, dqkv_ref,
+                           db_ref, *, scale, num_heads, n_valid):
+    from jax.experimental import pallas as pl
+
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+    _qkv_bwd_core(qkv_ref[0], bias_ref, mask_ref[...], do_ref[0], dqkv_ref,
+                  db_ref, scale=scale, num_heads=num_heads, n_valid=n_valid,
+                  first_block=first)
+
+
+def _qkv_bwd_kernel_nomask(qkv_ref, bias_ref, do_ref, dqkv_ref, db_ref, *,
+                           scale, num_heads, n_valid):
+    from jax.experimental import pallas as pl
+
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+    _qkv_bwd_core(qkv_ref[0], bias_ref, None, do_ref[0], dqkv_ref, db_ref,
+                  scale=scale, num_heads=num_heads, n_valid=n_valid,
+                  first_block=first)
+
+
+def _pick_qkv_bwd_tile(nw: int, n: int, c: int, num_heads: int,
+                       itemsize: int = 2,
+                       vmem_budget: int = 6 * 1024 * 1024) -> int:
+    """Like _pick_qkv_tile but for the backward: streams carry qkv + dO +
+    dqkv (7C per token) and the per-head VMEM temporaries are ~5 f32
+    (T, N, N) tiles (attn/p/dp/ds/sum scratch)."""
+    n_lane = _round_up(n, 128)
+    n_pad = _round_up(n, 8)
+
+    def footprint(t):
+        io = 7 * t * n_pad * c * itemsize * 2          # qkv+do+dqkv, dbl-buf
+        logits = 5 * t * n_pad * n_lane * 4            # f32 temporaries
+        bias = num_heads * n_pad * n_lane * 4
+        mask = t * n_pad * n_lane * 4 * 2
+        return io + logits + bias + mask
+
+    t = 1
+    while t * 2 <= min(64, nw) and footprint(t * 2) <= vmem_budget:
+        t *= 2
+    return t
+
+
+def window_attention_qkv_bwd_pallas(
+    qkv: jnp.ndarray,
+    bias: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    dout: jnp.ndarray,
+    scale: float,
+    num_heads: int,
+    win_tile: Optional[int] = None,
+    interpret: bool = False,
+):
+    """Backward kernel: (dqkv (B,nW,N,3C), dbias (H,N,N) f32). Padded
+    window tiles contribute nothing (their dout is zero-padded, so every
+    chain dot and the dbias row sums vanish)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, nw, n, c3 = qkv.shape
+    c = c3 // 3
+    if win_tile is None:
+        win_tile = _pick_qkv_bwd_tile(nw, n, c, num_heads)
+    nw_pad = _round_up(nw, win_tile)
+    if nw_pad != nw:
+        pads = ((0, 0), (0, nw_pad - nw), (0, 0), (0, 0))
+        qkv = jnp.pad(qkv, pads)
+        dout = jnp.pad(dout, pads)
+
+    grid = (b, nw_pad // win_tile)
+    qkv_spec = pl.BlockSpec((1, win_tile, n, c3), lambda ib, iw: (ib, iw, 0, 0),
+                            memory_space=pltpu.VMEM)
+    do_spec = pl.BlockSpec((1, win_tile, n, c), lambda ib, iw: (ib, iw, 0, 0),
+                           memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((num_heads, n, n), lambda ib, iw: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    db_spec = pl.BlockSpec((num_heads, n, n), lambda ib, iw: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, nw_pad, n, c3), qkv.dtype),
+        jax.ShapeDtypeStruct((num_heads, n, n), jnp.float32),
+    )
+    out_specs = (qkv_spec, db_spec)
+    bias_f = jnp.asarray(bias, jnp.float32)
+
+    if mask is not None:
+        mask_p = jnp.asarray(mask, jnp.float32)
+        if nw_pad != nw:
+            mask_p = jnp.pad(mask_p, ((0, nw_pad - nw), (0, 0), (0, 0)))
+        mask_spec = pl.BlockSpec((win_tile, n, n), lambda ib, iw: (iw, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        dqkv, dbias = pl.pallas_call(
+            functools.partial(_qkv_bwd_kernel_masked, scale=scale,
+                              num_heads=num_heads, n_valid=n),
+            grid=grid,
+            in_specs=[qkv_spec, bias_spec, mask_spec, do_spec],
+            out_specs=out_specs, out_shape=out_shapes, interpret=interpret,
+        )(qkv, bias_f, mask_p, dout)
+    else:
+        dqkv, dbias = pl.pallas_call(
+            functools.partial(_qkv_bwd_kernel_nomask, scale=scale,
+                              num_heads=num_heads, n_valid=n),
+            grid=grid,
+            in_specs=[qkv_spec, bias_spec, do_spec],
+            out_specs=out_specs, out_shape=out_shapes, interpret=interpret,
+        )(qkv, bias_f, dout)
+    return dqkv[:, :nw], dbias
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def window_attention_qkv_train(qkv, bias, mask, scale, num_heads,
+                               win_tile=None, interpret=False):
+    """Differentiable v3 kernel: fwd is window_attention_qkv_pallas, bwd is
+    the hand-written flash-style kernel above (residual = just qkv — the
+    (..., N, N) probabilities are recomputed in VMEM, never stored). mask is
+    a trace-time constant in SwinBlock, so its cotangent is zeros."""
+    return window_attention_qkv_pallas(qkv, bias, mask, scale, num_heads,
+                                       win_tile, interpret)
+
+
+def _qkv_train_fwd(qkv, bias, mask, scale, num_heads, win_tile, interpret):
+    out = window_attention_qkv_pallas(qkv, bias, mask, scale, num_heads,
+                                      win_tile, interpret)
+    return out, (qkv, bias, mask)
+
+
+def _qkv_train_bwd(scale, num_heads, win_tile, interpret, res, dout):
+    qkv, bias, mask = res
+    dqkv, dbias = window_attention_qkv_bwd_pallas(
+        qkv, bias, mask, dout, scale, num_heads, win_tile=None,
+        interpret=interpret,
+    )
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return dqkv, dbias.astype(bias.dtype), dmask
+
+
+window_attention_qkv_train.defvjp(_qkv_train_fwd, _qkv_train_bwd)
+
+
 def window_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

@@ -71,3 +71,92 @@ def test_win_block_vmem_sizing():
         attn = bw * h * 56 * 56 * 4 * 2
         assert 2 * (io + attn) <= 16 * 1024 * 1024, (h, bw)
     assert _pick_win_block(6, 56) > _pick_win_block(48, 56)
+
+
+@pytest.mark.parametrize("b,nw,heads,d,with_mask", [
+    (2, 13, 6, 32, False),
+    (2, 13, 6, 32, True),
+    (1, 5, 4, 32, True),    # nw not a multiple of the window tile -> padding
+    (2, 8, 2, 16, False),
+])
+def test_qkv_kernel_matches_reference(b, nw, heads, d, with_mask):
+    """v3 fused-input kernel (qkv (B,nW,N,3C) straight from the Dense, the
+    per-head split happens on VMEM-resident lane slices) == the einsum spec."""
+    from diffusiondepth_tpu.ops.window_attention import (
+        window_attention_qkv_pallas,
+        window_attention_qkv_reference,
+    )
+
+    rng = np.random.RandomState(0)
+    n, c = 49, heads * d
+    qkv = jnp.asarray(rng.randn(b, nw, n, 3 * c), jnp.float32)
+    bias = jnp.asarray(rng.randn(heads, n, n).astype(np.float32) * 0.1)
+    mask = None
+    if with_mask:
+        m = rng.choice([0.0, -100.0], size=(nw, n, n)).astype(np.float32)
+        mask = jnp.asarray(m)
+    scale = d ** -0.5
+
+    ref = window_attention_qkv_reference(qkv, bias, mask, scale, heads)
+    out = window_attention_qkv_pallas(qkv, bias, mask, scale, heads,
+                                      win_tile=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_qkv_kernel_bf16():
+    from diffusiondepth_tpu.ops.window_attention import (
+        window_attention_qkv_pallas,
+        window_attention_qkv_reference,
+    )
+
+    rng = np.random.RandomState(1)
+    b, nw, heads, d, n = 1, 6, 4, 32, 49
+    c = heads * d
+    qkv = jnp.asarray(rng.randn(b, nw, n, 3 * c), jnp.bfloat16)
+    bias = jnp.asarray(rng.randn(heads, n, n).astype(np.float32) * 0.1)
+    ref = window_attention_qkv_reference(qkv, bias, None, 0.17, heads)
+    out = window_attention_qkv_pallas(qkv, bias, None, 0.17, heads,
+                                      win_tile=4, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=3e-2, atol=3e-2,
+    )
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_qkv_train_grads_match_reference(with_mask):
+    """custom_vjp v3 kernel (flash-style recompute bwd): grads wrt qkv and
+    the relpos bias match jax.grad of the einsum spec."""
+    from diffusiondepth_tpu.ops.window_attention import (
+        window_attention_qkv_reference,
+        window_attention_qkv_train,
+    )
+
+    rng = np.random.RandomState(2)
+    b, nw, heads, d, n = 2, 5, 4, 32, 49
+    c = heads * d
+    qkv = jnp.asarray(rng.randn(b, nw, n, 3 * c), jnp.float32)
+    bias = jnp.asarray(rng.randn(heads, n, n).astype(np.float32) * 0.1)
+    mask = None
+    if with_mask:
+        m = rng.choice([0.0, -100.0], size=(nw, n, n)).astype(np.float32)
+        mask = jnp.asarray(m)
+    scale = d ** -0.5
+    cot = jnp.asarray(rng.randn(b, nw, n, c), jnp.float32)
+
+    def loss_ref(qkv, bias):
+        out = window_attention_qkv_reference(qkv, bias, mask, scale, heads)
+        return jnp.sum(out * cot)
+
+    def loss_ker(qkv, bias):
+        out = window_attention_qkv_train(qkv, bias, mask, scale, heads,
+                                         2, True)  # win_tile=2, interpret
+        return jnp.sum(out * cot)
+
+    gq_ref, gb_ref = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
+    gq_ker, gb_ker = jax.grad(loss_ker, argnums=(0, 1))(qkv, bias)
+    np.testing.assert_allclose(np.asarray(gq_ker), np.asarray(gq_ref),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(gb_ker), np.asarray(gb_ref),
+                               rtol=2e-3, atol=2e-3)

@@ -33,6 +33,12 @@ def main():
     p.add_argument("--bs", type=int, default=4)
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--fwd-only", action="store_true")
+    p.add_argument("--grid-einsum", action="store_true",
+                   help="A/B: the zero-transpose 8-D einsum path "
+                        "(measured 4.6x slower on v5e)")
+    p.add_argument("--no-fused-qkv", action="store_true",
+                   help="A/B: disable the v3 fused-input attention kernel")
+    p.add_argument("--no-remat", action="store_true")
     p.add_argument("--trace-dir", default="/tmp/swin_profile")
     p.add_argument("--top", type=int, default=30)
     args = p.parse_args()
@@ -44,10 +50,18 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
     from diffusiondepth_tpu.models.backbones.swin import (  # noqa: E402
-        swin_large_naive_l4w722422k,
+        SwinTransformer,
     )
 
-    model = swin_large_naive_l4w722422k(dtype=jnp.bfloat16, remat=True)
+    model = SwinTransformer(
+        embed_dims=192, patch_size=4, window_size=7, mlp_ratio=4,
+        depths=(2, 2, 18, 2), num_heads=(6, 12, 24, 48),
+        out_indices=(0, 1, 2, 3), remat=not args.no_remat,
+        grid_einsum=args.grid_einsum,
+        fused_qkv_attention=not args.no_fused_qkv, dtype=jnp.bfloat16,
+    )
+    print(f"grid_einsum={args.grid_einsum} fused_qkv={not args.no_fused_qkv} "
+          f"remat={not args.no_remat}", flush=True)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(args.bs, args.height, args.width, 3),
                     jnp.bfloat16)
@@ -70,7 +84,10 @@ def main():
     @jax.jit
     def trainstep_k(params, x):
         def loss_fn(p, xi):
-            outs = model.apply(p, xi, train=True)
+            outs = model.apply(
+                p, xi, train=True,
+                rngs={"dropout": jax.random.PRNGKey(0)},
+            )
             return sum(o.astype(jnp.float32).mean() for o in outs)
 
         def body(carry, _):
