@@ -148,6 +148,10 @@ def main():
     # + bs4 remat activations alone are ~15 GB of the 16 GB HBM)
     del variables, batch, sums
     try:
+        secondary = bench_secondary(jax)
+    except Exception as e:  # secondary rows are best-effort extra signal
+        secondary = {"secondary_error": f"{type(e).__name__}: {e}"}
+    try:
         train_metrics = bench_training(jax, cfg)
     except Exception as e:  # training bench is best-effort extra signal
         train_metrics = {"train_error": f"{type(e).__name__}: {e}"}
@@ -163,10 +167,125 @@ def main():
                 "vs_baseline_note": "vs ESTIMATED 2.0 fps A100 reference; "
                 "mfu_* fields are the hardware-peak accounting",
                 **mfu_metrics,
+                "secondary": secondary,
                 **train_metrics,
             }
         )
     )
+
+
+def bench_secondary(jax):
+    """Secondary eval rows (VERDICT r3 #5): the 50-step + flip-TTA
+    leaderboard protocol (BASELINE.json config #5) and the two other
+    published model rows (reference README.md:268-272), all at KITTI
+    352x1216 bf16 bs8. Returns a dict of {row_name: {fps, mfu, ...}}."""
+    import gc
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffusiondepth_tpu.config import Config
+    from diffusiondepth_tpu.models import build_model
+    from diffusiondepth_tpu.tools import flops as flops_mod
+
+    peak = flops_mod.peak_flops(jax.devices()[0].device_kind)
+    rows = {
+        "leaderboard_protocol": dict(
+            backbone_module="swin",
+            backbone_name="swin_large_naive_l4w722422k",
+            head="DDIMDepthEstimate_Swin_ADDHAHI",
+            steps=50, tta=True, n_iters=4,
+        ),
+        "res50": dict(
+            backbone_module="mmbev_resnet", backbone_name="mmbev_res50",
+            head="DDIMDepthEstimate_Res", steps=20, tta=False, n_iters=10,
+        ),
+        "mpvit_small": dict(
+            backbone_module="mpvit", backbone_name="mpvit_small",
+            head="DDIMDepthEstimate_MPVIT_ADDHAHI", steps=20, tta=False,
+            n_iters=10,
+        ),
+    }
+    out = {}
+    bs = 8
+    for name, spec in rows.items():
+        try:
+            gc.collect()
+            cfg = Config(
+                model_name="Diffusion_DCbase_",
+                backbone_module=spec["backbone_module"],
+                backbone_name=spec["backbone_name"],
+                head_specify=spec["head"],
+                inference_steps=spec["steps"],
+                opt_level="O1",
+            ).finalize()
+            model = build_model(cfg)
+            rng = np.random.RandomState(0)
+            gt = np.clip(rng.rand(bs, H, W, 1) * 80, 0, 88).astype(np.float32)
+            batch = {
+                "rgb": jnp.asarray(rng.randn(bs, H, W, 3).astype(np.float32)),
+                "dep": jnp.asarray(gt),
+                "gt": jnp.asarray(gt),
+                "depth_map": jnp.asarray(gt),
+                "depth_mask": jnp.ones((bs, H, W, 1), jnp.float32),
+            }
+            variables = model.init(
+                {"params": jax.random.PRNGKey(0),
+                 "diffusion": jax.random.PRNGKey(1)},
+                batch, train=False,
+            )
+            tta = spec["tta"]
+            if tta:
+                # flip-ensemble: batch + its mirror as one doubled batch,
+                # predictions averaged after unflipping (training/steps.py
+                # make_eval_step tta_flip semantics)
+                batch = {
+                    k: jnp.concatenate([v, jnp.flip(v, axis=2)], axis=0)
+                    if v.ndim == 4 else v
+                    for k, v in batch.items()
+                }
+            n_iters = spec["n_iters"]
+
+            @jax.jit
+            def forward_k(variables, batch, key):
+                def body(carry, i):
+                    out = model.apply(
+                        variables, batch, train=False,
+                        rngs={"diffusion": jax.random.fold_in(key, i)},
+                    )["pred"]
+                    if tta:
+                        out = 0.5 * (out[:bs] + jnp.flip(out[bs:], axis=2))
+                    return carry, jnp.sum(out.astype(jnp.float32))
+                return jax.lax.scan(body, 0, jnp.arange(n_iters))[1]
+
+            key = jax.random.PRNGKey(7)
+            _ = float(forward_k(variables, batch, key)[-1])  # compile+sync
+            best_dt = float("inf")
+            for rep in range(2):
+                t0 = time.perf_counter()
+                sums = forward_k(variables, batch, jax.random.fold_in(key, rep))
+                _ = float(sums[-1])
+                best_dt = min(best_dt, time.perf_counter() - t0)
+            fps = n_iters * bs / best_dt
+            row = {
+                "fps_chip": round(fps, 3),
+                "config": f"{spec['backbone_name']}+{spec['head']} "
+                          f"{H}x{W} bs{bs} {spec['steps']} steps"
+                          + (" flip-TTA" if tta else ""),
+            }
+            ent = flops_mod.lookup(
+                cfg.backbone_name, cfg.head_specify, H, W, bs, spec["steps"]
+            )
+            if ent is not None:
+                per_frame = ent["fwd_flops_frame"] * (2.0 if tta else 1.0)
+                row["flops_per_frame_g"] = round(per_frame / 1e9, 1)
+                row["mfu"] = round(per_frame * fps / peak, 4)
+            out[name] = row
+            del variables, batch
+        except Exception as e:
+            out[name] = {"error": f"{type(e).__name__}: {e}"}
+    gc.collect()
+    return out
 
 
 def bench_training(jax, cfg):

@@ -172,22 +172,43 @@ def compute_fwd_flops(
     return f_model + (steps - 1) * (f_den + f_sched)
 
 
-def flagship_entries() -> Dict[str, Dict[str, float]]:
-    """The two shapes bench.py reports: eval 352x1216 bs8 and the training
-    crop 352x906 global-bs8 (reference README.md:212-215, 249)."""
+SWIN_ARGS = ("swin", "swin_large_naive_l4w722422k",
+             "DDIMDepthEstimate_Swin_ADDHAHI")
+
+# (backbone_module, backbone_name, head, h, w, bs, steps, train) of every
+# entry bench.py reads: the flagship eval/train pair plus the published
+# model rows and the 50-step leaderboard protocol (BASELINE.md)
+BENCH_SPECS = (
+    SWIN_ARGS + (352, 1216, 8, 20, False),
+    SWIN_ARGS + (352, 906, 8, 20, True),
+    SWIN_ARGS + (352, 1216, 8, 50, False),  # leaderboard protocol (x2 TTA)
+    ("mmbev_resnet", "mmbev_res50", "DDIMDepthEstimate_Res",
+     352, 1216, 8, 20, False),
+    ("mpvit", "mpvit_small", "DDIMDepthEstimate_MPVIT_ADDHAHI",
+     352, 1216, 8, 20, False),
+)
+
+
+def compute_entries(specs=BENCH_SPECS, existing: Optional[Dict] = None
+                    ) -> Dict[str, Dict[str, float]]:
+    """Compute the cache entries for ``specs`` that ``existing`` lacks."""
     out = {}
-    eval_args = ("swin", "swin_large_naive_l4w722422k",
-                 "DDIMDepthEstimate_Swin_ADDHAHI")
-    for (h, w, bs, steps, train) in ((352, 1216, 8, 20, False),
-                                     (352, 906, 8, 20, True)):
-        f = compute_fwd_flops(*eval_args, h, w, bs, steps, train=train)
-        key = _key(eval_args[1], eval_args[2], h, w, bs, steps)
+    for (mod, name, head, h, w, bs, steps, train) in specs:
+        key = _key(name, head, h, w, bs, steps)
+        if existing and key in existing:
+            continue
+        f = compute_fwd_flops(mod, name, head, h, w, bs, steps, train=train)
         out[key] = {
             "fwd_flops_batch": f,
             "fwd_flops_frame": f / bs,
             "train": bool(train),
         }
     return out
+
+
+def flagship_entries() -> Dict[str, Dict[str, float]]:
+    """Back-compat alias: the flagship eval/train pair."""
+    return compute_entries(BENCH_SPECS[:2])
 
 
 def lookup(backbone_name: str, head: str, h: int, w: int, bs: int,
@@ -216,8 +237,9 @@ def main(argv=None):
         pass
 
     table = json.loads(CACHE.read_text()) if CACHE.exists() else {}
-    if args.refresh or not table:
-        table.update(flagship_entries())
+    new = compute_entries(existing=None if args.refresh else table)
+    if new:
+        table.update(new)
         CACHE.write_text(json.dumps(table, indent=1, sort_keys=True))
     for k, v in table.items():
         print(f"{k}: {v['fwd_flops_frame'] / 1e12:.3f} TFLOP/frame fwd")
