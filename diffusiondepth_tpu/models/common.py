@@ -323,6 +323,50 @@ def _gn_bf16_bwd(num_groups, res, dy):
 _gn_bf16.defvjp(_gn_bf16_fwd, _gn_bf16_bwd)
 
 
+class LayerNorm(nn.Module):
+    """torch-compatible last-dim LayerNorm (affine; Swin uses eps 1e-5).
+
+    STATUS: opt-in, NOT used by the Swin backbone — three LayerNorm
+    lowerings were A/B'd in situ on v5e (352x906 bs4 Swin-L, r4):
+    flax nn.LayerNorm 38.5 ms fwd / 73.95 ms train iter; an MXU ones-GEMV
+    custom_vjp 38.6 / 73.8 (neutral — the convert+reduce work just moves
+    between fusion categories); the Pallas kernel in ops/layernorm.py
+    41.3 / 77.9 (the kernel itself runs at traffic floor, 6.6 ms/iter for
+    all ~50 norms, but the pallas_call boundary un-fuses the residual adds
+    and window reshapes that XLA folds into flax-LN's fusions — net +25 ms
+    of add_add/reshape/copy). flax's convert_reduce_fusion category is
+    LN-shaped but carries co-fused elementwise work; removing LN from it
+    does not remove that work. Kept (with the bf16 branch on the Pallas
+    kernel) for shapes where the surrounding fusion structure differs.
+    Param names/shapes ('scale'/'bias', f32, directly under this module)
+    are identical to flax's, so checkpoint conversion
+    (utils/convert_torch_checkpoint.py) is unaffected. Non-bf16
+    configurations keep exact flax/torch f32-stat semantics (reference
+    src/model/backbone/swin.py LayerNorm usage).
+    """
+
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        if self.dtype != jnp.bfloat16:
+            xf = x.astype(jnp.float32)
+            mean = xf.mean(-1, keepdims=True)
+            var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+            y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+            y = y * scale + bias
+            return y.astype(self.dtype or x.dtype)
+        from ..ops.layernorm import layernorm_bf16
+
+        return layernorm_bf16(x.astype(jnp.bfloat16), scale, bias,
+                              self.epsilon)
+
+
+
 def max_pool2d(
     x: jnp.ndarray,
     kernel: int,

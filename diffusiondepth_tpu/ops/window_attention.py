@@ -223,55 +223,70 @@ def window_attention_qkv_reference(
     return jnp.einsum("bwhqk,bwkhd->bwqhd", attn, v).reshape(b, nw, n, c)
 
 
-def _qkv_core(qkv, bias_ref, mask, o_ref, *, scale, num_heads, n_valid):
+def _qkv_core(qkv, bias_ref, mask, o_ref, *, scale, num_heads, n_valid,
+              head_chunk):
     """One (batch, window-tile) block: qkv (T, N, 3C) in the Dense output
     layout — per-head lane slices replace the (B,nW,N,3,H,D) reshape+copy
     that costs 27% of the XLA Swin forward (r4 profile,
     tools/bench_swin_profile.py: the einsum path relayouts q/k/v to
     N-on-lanes in HBM; here the relayout happens on VMEM-resident slices).
     All of QK^T + bias/mask + f32 softmax + AV stay in VMEM: the (..., N, N)
-    attention tensor never touches HBM."""
+    attention tensor never touches HBM.
+
+    Heads are processed ``head_chunk`` at a time as ONE (hc*T)-batched dot
+    pair + ONE 4-D softmax (bias/mask added by broadcast on the
+    (hc, T, N, N) view): a per-head Python loop emits 2H tiny dots and H
+    softmaxes per program, and those op instances — not FLOPs or bandwidth
+    — dominated the kernel (measured ~200x off the FLOP floor per layer)."""
     t, n, c3 = qkv.shape
     c = c3 // 3
     d = c // num_heads
 
     # padded key columns (n_valid..n) get -inf before the softmax
-    col = jax.lax.broadcasted_iota(jnp.int32, (t, n, n), dimension=2)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, t, n, n), dimension=3)
     colmask = jnp.where(col < n_valid, 0.0, -1e30).astype(jnp.float32)
     if mask is not None:
-        colmask = colmask + mask.astype(jnp.float32)
+        colmask = colmask + mask.astype(jnp.float32)[None]
 
-    for h in range(num_heads):
-        q = qkv[:, :, h * d:(h + 1) * d]
-        k = qkv[:, :, c + h * d:c + (h + 1) * d]
-        v = qkv[:, :, 2 * c + h * d:2 * c + (h + 1) * d]
+    for h0 in range(0, num_heads, head_chunk):
+        hs = list(range(h0, min(h0 + head_chunk, num_heads)))
+        hc = len(hs)
+        q = jnp.stack([qkv[:, :, h * d:(h + 1) * d] for h in hs])
+        k = jnp.stack([qkv[:, :, c + h * d:c + (h + 1) * d] for h in hs])
+        v = jnp.stack([qkv[:, :, 2 * c + h * d:2 * c + (h + 1) * d]
+                       for h in hs])
+        q = q.reshape(hc * t, n, d)
+        k = k.reshape(hc * t, n, d)
+        v = v.reshape(hc * t, n, d)
         attn = jax.lax.dot_general(
-            (q * jnp.asarray(scale, q.dtype)), k,
+            q * jnp.asarray(scale, q.dtype), k,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # (T, N, N) f32
-        attn = attn + bias_ref[h].astype(jnp.float32)[None] + colmask
+        ).reshape(hc, t, n, n)
+        attn = attn + bias_ref[h0:h0 + hc].astype(jnp.float32)[:, None]
+        attn = attn + colmask
         attn = attn - jnp.max(attn, axis=-1, keepdims=True)
         attn = jnp.exp(attn)
         attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
         out = jax.lax.dot_general(
-            attn.astype(v.dtype), v,
+            attn.reshape(hc * t, n, n).astype(v.dtype), v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )
-        o_ref[0, :, :, h * d:(h + 1) * d] = out.astype(o_ref.dtype)
+        ).reshape(hc, t, n, d)
+        for i, h in enumerate(hs):
+            o_ref[0, :, :, h * d:(h + 1) * d] = out[i].astype(o_ref.dtype)
 
 
 def _qkv_kernel_masked(qkv_ref, bias_ref, mask_ref, o_ref, *, scale,
-                       num_heads, n_valid):
+                       num_heads, n_valid, head_chunk):
     _qkv_core(qkv_ref[0], bias_ref, mask_ref[...], o_ref, scale=scale,
-              num_heads=num_heads, n_valid=n_valid)
+              num_heads=num_heads, n_valid=n_valid, head_chunk=head_chunk)
 
 
 def _qkv_kernel_nomask(qkv_ref, bias_ref, o_ref, *, scale, num_heads,
-                       n_valid):
+                       n_valid, head_chunk):
     _qkv_core(qkv_ref[0], bias_ref, None, o_ref, scale=scale,
-              num_heads=num_heads, n_valid=n_valid)
+              num_heads=num_heads, n_valid=n_valid, head_chunk=head_chunk)
 
 
 def _pick_qkv_tile(nw: int, n: int, c: int, num_heads: int,
@@ -295,6 +310,23 @@ def _pick_qkv_tile(nw: int, n: int, c: int, num_heads: int,
     return t
 
 
+def _pick_head_chunk(num_heads: int, t: int, n: int, d: int,
+                     n_temps_f32: int = 2, n_temps_bf16: int = 6,
+                     vmem_budget: int = 4 * 1024 * 1024) -> int:
+    """Heads batched per chunk in the kernel body. Each (head, window) unit
+    stages ~``n_temps_bf16`` lane-padded (n_sub, 128) bf16 tiles (q/k/v
+    stacks, probs, out) and ~``n_temps_f32`` (n_sub, n_lane) f32 logit
+    tiles; chunk heads so those temporaries stay within the scoped-VMEM
+    slack left by the streams."""
+    n_sub = _round_up(n, 8)
+    n_lane = _round_up(n, 128)
+    d_lane = _round_up(d, 128)
+    unit = (n_temps_bf16 * n_sub * d_lane * 2
+            + n_temps_f32 * n_sub * n_lane * 4)
+    hc = max(1, min(num_heads, vmem_budget // max(1, unit * t)))
+    return hc
+
+
 def window_attention_qkv_pallas(
     qkv: jnp.ndarray,
     bias: jnp.ndarray,
@@ -313,6 +345,7 @@ def window_attention_qkv_pallas(
     c = c3 // 3
     if win_tile is None:
         win_tile = _pick_qkv_tile(nw, n, c, num_heads)
+    head_chunk = _pick_head_chunk(num_heads, win_tile, n, c // num_heads)
     nw_pad = _round_up(nw, win_tile)
     if nw_pad != nw:
         qkv = jnp.pad(qkv, ((0, 0), (0, nw_pad - nw), (0, 0), (0, 0)))
@@ -335,7 +368,8 @@ def window_attention_qkv_pallas(
                                  memory_space=pltpu.VMEM)
         out = pl.pallas_call(
             functools.partial(_qkv_kernel_masked, scale=scale,
-                              num_heads=num_heads, n_valid=n),
+                              num_heads=num_heads, n_valid=n,
+                              head_chunk=head_chunk),
             grid=grid,
             in_specs=[qkv_spec, bias_spec, mask_spec],
             out_specs=out_spec, out_shape=out_shape, interpret=interpret,
@@ -343,7 +377,8 @@ def window_attention_qkv_pallas(
     else:
         out = pl.pallas_call(
             functools.partial(_qkv_kernel_nomask, scale=scale,
-                              num_heads=num_heads, n_valid=n),
+                              num_heads=num_heads, n_valid=n,
+                              head_chunk=head_chunk),
             grid=grid,
             in_specs=[qkv_spec, bias_spec],
             out_specs=out_spec, out_shape=out_shape, interpret=interpret,
@@ -352,94 +387,108 @@ def window_attention_qkv_pallas(
 
 
 def _qkv_bwd_core(qkv, bias_ref, mask, do, dqkv_ref, db_ref, *, scale,
-                  num_heads, n_valid, first_block):
+                  num_heads, n_valid, first_block, head_chunk):
     """Backward of one (batch, window-tile) block: recomputes the f32
     attention probabilities in VMEM (flash-style — nothing from the forward
     is read back from HBM except qkv itself), then the four chain dots.
     dbias accumulates across the sequential grid into the (H, N, N) output
-    block (constant index_map; TPU grids execute in order)."""
+    block (constant index_map; TPU grids execute in order). Heads batch
+    ``head_chunk`` at a time (see _qkv_core)."""
     from jax.experimental import pallas as pl
 
     t, n, c3 = qkv.shape
     c = c3 // 3
     d = c // num_heads
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (t, n, n), dimension=2)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, t, n, n), dimension=3)
     colmask = jnp.where(col < n_valid, 0.0, -1e30).astype(jnp.float32)
     if mask is not None:
-        colmask = colmask + mask.astype(jnp.float32)
+        colmask = colmask + mask.astype(jnp.float32)[None]
 
     if first_block is not None:
         @pl.when(first_block)
         def _():
             db_ref[...] = jnp.zeros(db_ref.shape, db_ref.dtype)
 
-    for h in range(num_heads):
-        q = qkv[:, :, h * d:(h + 1) * d]
-        k = qkv[:, :, c + h * d:c + (h + 1) * d]
-        v = qkv[:, :, 2 * c + h * d:2 * c + (h + 1) * d]
-        doh = do[:, :, h * d:(h + 1) * d]
+    for h0 in range(0, num_heads, head_chunk):
+        hs = list(range(h0, min(h0 + head_chunk, num_heads)))
+        hc = len(hs)
+        q = jnp.stack([qkv[:, :, h * d:(h + 1) * d] for h in hs])
+        k = jnp.stack([qkv[:, :, c + h * d:c + (h + 1) * d] for h in hs])
+        v = jnp.stack([qkv[:, :, 2 * c + h * d:2 * c + (h + 1) * d]
+                       for h in hs])
+        doh = jnp.stack([do[:, :, h * d:(h + 1) * d] for h in hs])
+        q = q.reshape(hc * t, n, d)
+        k = k.reshape(hc * t, n, d)
+        v = v.reshape(hc * t, n, d)
+        doh = doh.reshape(hc * t, n, d)
 
         attn = jax.lax.dot_general(
-            (q * jnp.asarray(scale, q.dtype)), k,
+            q * jnp.asarray(scale, q.dtype), k,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) + bias_ref[h].astype(jnp.float32)[None] + colmask
+        ).reshape(hc, t, n, n)
+        attn = attn + bias_ref[h0:h0 + hc].astype(jnp.float32)[:, None]
+        attn = attn + colmask
         attn = attn - jnp.max(attn, axis=-1, keepdims=True)
         attn = jnp.exp(attn)
-        p = attn / jnp.sum(attn, axis=-1, keepdims=True)  # (T, Nq, Nk) f32
-        p_lo = p.astype(v.dtype)
+        p = attn / jnp.sum(attn, axis=-1, keepdims=True)  # (hc,T,Nq,Nk) f32
+        p_flat = p.reshape(hc * t, n, n)
+        p_lo = p_flat.astype(v.dtype)
 
         # dV[m, d] = sum_q p[q, m] * dO[q, d]
         dv = jax.lax.dot_general(
             p_lo, doh,
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )
+        ).reshape(hc, t, n, d)
         # dP[q, m] = sum_d dO[q, d] * V[m, d]
         dp = jax.lax.dot_general(
             doh, v,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )
+        ).reshape(hc, t, n, n)
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # f32
-        ds_lo = ds.astype(q.dtype)
+        ds_flat = ds.reshape(hc * t, n, n)
+        ds_lo = ds_flat.astype(q.dtype)
         dq = jax.lax.dot_general(
             ds_lo, k,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * scale
+        ).reshape(hc, t, n, d) * scale
         dk = jax.lax.dot_general(
             ds_lo, q,
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * scale
+        ).reshape(hc, t, n, d) * scale
 
-        dqkv_ref[0, :, :, h * d:(h + 1) * d] = dq.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, :, c + h * d:c + (h + 1) * d] = dk.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, :, 2 * c + h * d:2 * c + (h + 1) * d] = (
-            dv.astype(dqkv_ref.dtype))
-        db_ref[h] += jnp.sum(ds, axis=0)
+        for i, h in enumerate(hs):
+            dqkv_ref[0, :, :, h * d:(h + 1) * d] = dq[i].astype(dqkv_ref.dtype)
+            dqkv_ref[0, :, :, c + h * d:c + (h + 1) * d] = (
+                dk[i].astype(dqkv_ref.dtype))
+            dqkv_ref[0, :, :, 2 * c + h * d:2 * c + (h + 1) * d] = (
+                dv[i].astype(dqkv_ref.dtype))
+        db_ref[h0:h0 + hc] += jnp.sum(ds, axis=1)
 
 
 def _qkv_bwd_kernel_masked(qkv_ref, bias_ref, mask_ref, do_ref, dqkv_ref,
-                           db_ref, *, scale, num_heads, n_valid):
+                           db_ref, *, scale, num_heads, n_valid, head_chunk):
     from jax.experimental import pallas as pl
 
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
     _qkv_bwd_core(qkv_ref[0], bias_ref, mask_ref[...], do_ref[0], dqkv_ref,
                   db_ref, scale=scale, num_heads=num_heads, n_valid=n_valid,
-                  first_block=first)
+                  first_block=first, head_chunk=head_chunk)
 
 
 def _qkv_bwd_kernel_nomask(qkv_ref, bias_ref, do_ref, dqkv_ref, db_ref, *,
-                           scale, num_heads, n_valid):
+                           scale, num_heads, n_valid, head_chunk):
     from jax.experimental import pallas as pl
 
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
     _qkv_bwd_core(qkv_ref[0], bias_ref, None, do_ref[0], dqkv_ref, db_ref,
                   scale=scale, num_heads=num_heads, n_valid=n_valid,
-                  first_block=first)
+                  first_block=first, head_chunk=head_chunk)
 
 
 def _pick_qkv_bwd_tile(nw: int, n: int, c: int, num_heads: int,
@@ -484,6 +533,8 @@ def window_attention_qkv_bwd_pallas(
     c = c3 // 3
     if win_tile is None:
         win_tile = _pick_qkv_bwd_tile(nw, n, c, num_heads)
+    head_chunk = _pick_head_chunk(num_heads, win_tile, n, c // num_heads,
+                                  n_temps_f32=4, n_temps_bf16=10)
     nw_pad = _round_up(nw, win_tile)
     if nw_pad != nw:
         pads = ((0, 0), (0, nw_pad - nw), (0, 0), (0, 0))
@@ -514,7 +565,8 @@ def window_attention_qkv_bwd_pallas(
                                  memory_space=pltpu.VMEM)
         dqkv, dbias = pl.pallas_call(
             functools.partial(_qkv_bwd_kernel_masked, scale=scale,
-                              num_heads=num_heads, n_valid=n),
+                              num_heads=num_heads, n_valid=n,
+                              head_chunk=head_chunk),
             grid=grid,
             in_specs=[qkv_spec, bias_spec, mask_spec, do_spec],
             out_specs=out_specs, out_shape=out_shapes, interpret=interpret,
@@ -522,7 +574,8 @@ def window_attention_qkv_bwd_pallas(
     else:
         dqkv, dbias = pl.pallas_call(
             functools.partial(_qkv_bwd_kernel_nomask, scale=scale,
-                              num_heads=num_heads, n_valid=n),
+                              num_heads=num_heads, n_valid=n,
+                              head_chunk=head_chunk),
             grid=grid,
             in_specs=[qkv_spec, bias_spec, do_spec],
             out_specs=out_specs, out_shape=out_shapes, interpret=interpret,
