@@ -37,6 +37,24 @@ from flax import linen as nn
 from ...registry import BACKBONES
 from ..common import drop_path
 
+_WARNED: set = set()
+
+# Test/dryrun hook (VERDICT r4 #7): when True, the WindowMSA fused-attention
+# gate behaves as on TPU but runs the Pallas kernels in interpret mode, so
+# the dispatch decision + custom_vjp wiring are exercised on CPU (the plain
+# CPU path would otherwise silently take the einsum branch and a gate
+# regression would pass every dryrun). Set via
+# swin.FORCE_FUSED_INTERPRET = True; tests restore it in a finally block.
+FORCE_FUSED_INTERPRET: bool = False
+
+
+def _warn_once(key: str, msg: str) -> None:
+    if key not in _WARNED:
+        _WARNED.add(key)
+        import warnings
+
+        warnings.warn(msg)
+
 
 @functools.lru_cache(maxsize=None)
 def relative_position_index(wh: int, ww: int) -> np.ndarray:
@@ -90,16 +108,23 @@ class WindowMSA(nn.Module):
     """Window multi-head self-attention with relative position bias
     (reference swin.py:92-189).
 
-    ``use_pallas=True`` routes the attention core through the fused Pallas
-    kernel (ops/window_attention.py) at inference on TPU. Default OFF — the
-    measured decision (tools/bench_window_attention.py, v5e, bf16, bs 8,
-    every Swin-L stage shape of KITTI 352x1216): XLA's fused einsum
-    composition wins at all of them (kernel at 0.66-0.89x, 0.74x overall),
-    even after the v2 kernel eliminated the mask tiling. Both sit far from
-    roofline — the op is MXU-latency-bound on tiny (56x32) per-window
-    matmuls, and XLA schedules that batched regime better. The kernel
-    remains opt-in (--use_pallas) with interpret-mode and real-hardware
-    parity tests (tests/test_window_attention.py).
+    DEFAULT attention core on TPU: the v3/v4 fused-input Pallas kernel
+    (``fused_qkv_attention=True``; ops/window_attention.py
+    window_attention_qkv_pallas / _train). It consumes the qkv Dense output
+    (B, nW, N, 3C) directly, so the (B,nW,N,3,H,D) reshape+copy relayout —
+    27% of the XLA Swin forward at the r4 profile — never touches HBM, and
+    QK+bias+mask+f32 softmax+AV stay in VMEM. Measured 1.37-1.42x the XLA
+    composition at every train stage shape and 1.57-1.66x at the eval
+    shapes (tools/bench_window_attention_v3.py, v5e bf16). Training runs
+    the custom_vjp twin (flash-style backward kernel) unless attention
+    dropout is configured; disable with --no_fused_window_attention.
+
+    ``use_pallas=True`` instead routes through the LEGACY v2 kernel (split
+    q/k/v layout). That one measured SLOWER than XLA at every flagship
+    stage shape (0.66-0.89x, tools/bench_window_attention.py) and stays
+    opt-in (--use_pallas) as the VMEM-guaranteed fallback, with
+    interpret-mode and real-hardware parity tests
+    (tests/test_window_attention.py).
     """
 
     embed_dims: int
@@ -158,27 +183,38 @@ class WindowMSA(nn.Module):
         # recomputes the attention probabilities in VMEM; residual = qkv
         # only) unless attention dropout is configured (the kernel has no
         # in-VMEM dropout; the flagship configs all run attn_drop_rate 0).
-        if (
+        fused_wanted = (
             not grid
             and self.fused_qkv_attention
             and not self.use_pallas
-            and (not train or self.attn_drop_rate == 0)
-            and jax.default_backend() == "tpu"
-        ):
+            and (FORCE_FUSED_INTERPRET or jax.default_backend() == "tpu")
+        )
+        if fused_wanted and train and self.attn_drop_rate > 0:
+            # the fused kernel has no in-VMEM dropout: falling back to the
+            # einsum path costs ~1.2x on the Swin train iter — say so once
+            # instead of regressing silently (ADVICE r4)
+            _warn_once(
+                "attn_drop_fallback",
+                "attn_drop_rate > 0 disables the fused window-attention "
+                "training kernel; this training run uses the slower XLA "
+                "einsum attention path (see WindowMSA docstring).",
+            )
+        if fused_wanted and (not train or self.attn_drop_rate == 0):
             from ...ops.window_attention import (
                 window_attention_qkv_pallas,
                 window_attention_qkv_train,
             )
 
+            interp = FORCE_FUSED_INTERPRET
             if train:
                 out = window_attention_qkv_train(
                     qkv, bias_hnn.astype(jnp.float32), mask, scale,
-                    self.num_heads,
+                    self.num_heads, None, interp,
                 )
             else:
                 out = window_attention_qkv_pallas(
                     qkv, bias_hnn.astype(jnp.float32), mask, scale,
-                    self.num_heads,
+                    self.num_heads, interpret=interp,
                 )
             out = nn.Dense(self.embed_dims, dtype=self.dtype, name="proj")(out)
             if train and self.proj_drop_rate > 0:

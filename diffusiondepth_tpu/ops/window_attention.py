@@ -18,13 +18,19 @@ kernel indexes it by window-block via the grid, so nothing is ever tiled to
 (B*nW, N, N) in HBM (the v1 convention materialised ~90 MB of mask per
 shifted Swin-L layer). Non-shifted layers compile a mask-free kernel variant.
 
-STATUS: opt-in, measured SLOWER than XLA at every flagship stage shape
-(0.66-0.89x; tools/bench_window_attention.py, table in README). Both
-implementations are MXU-latency-bound on the tiny 56x32 per-window matmuls
-(~15x off the HBM roofline); XLA schedules that batched regime better than
-this kernel's (window-block x head) grid. Kept as the VMEM-guaranteed
-fallback for shapes where XLA's fusion breaks, with interpret-mode and
-real-hardware parity tests.
+STATUS: this file holds TWO kernel generations.
+- v2 (window_attention_pallas, split q/k/v layout): OPT-IN, measured SLOWER
+  than XLA at every flagship stage shape (0.66-0.89x;
+  tools/bench_window_attention.py, table in README). Kept as the
+  VMEM-guaranteed fallback, with interpret-mode and real-hardware parity
+  tests.
+- v3/v4 (window_attention_qkv_pallas / window_attention_qkv_train, fused
+  qkv-Dense-output layout, heads batched head_chunk at a time): DEFAULT ON
+  on TPU — measured 1.37-1.42x the XLA composition at the train stage
+  shapes and 1.57-1.66x at the eval shapes
+  (tools/bench_window_attention_v3.py); the training twin is a custom_vjp
+  whose backward recomputes attention probabilities flash-style in VMEM
+  (residual = qkv only).
 
 Grid: (B, nW/win_block); blocks never straddle images, so the mask block
 index is just the window-block index. N (window area, 49 for 7x7) is
@@ -151,7 +157,7 @@ def window_attention_pallas(
     b, nw, h, n, d = q.shape
     n_pad = _round_up(n, 8)
     if win_block is None:
-        win_block = _pick_win_block(h, n_pad)
+        win_block = _pick_win_block(h, n_pad, itemsize=q.dtype.itemsize)
     nw_pad = _round_up(nw, win_block)
 
     def pad(x):
@@ -242,11 +248,18 @@ def _qkv_core(qkv, bias_ref, mask, o_ref, *, scale, num_heads, n_valid,
     c = c3 // 3
     d = c // num_heads
 
-    # padded key columns (n_valid..n) get -inf before the softmax
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, t, n, n), dimension=3)
-    colmask = jnp.where(col < n_valid, 0.0, -1e30).astype(jnp.float32)
-    if mask is not None:
-        colmask = colmask + mask.astype(jnp.float32)[None]
+    # padded key columns (n_valid..n) get -inf before the softmax; skipped
+    # when n is unpadded (the common case — block dims use n exactly), so
+    # the iota+where cost nothing then (ADVICE r4)
+    if n_valid < n:
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, t, n, n), dimension=3)
+        colmask = jnp.where(col < n_valid, 0.0, -1e30).astype(jnp.float32)
+        if mask is not None:
+            colmask = colmask + mask.astype(jnp.float32)[None]
+    elif mask is not None:
+        colmask = mask.astype(jnp.float32)[None]
+    else:
+        colmask = None
 
     for h0 in range(0, num_heads, head_chunk):
         hs = list(range(h0, min(h0 + head_chunk, num_heads)))
@@ -264,7 +277,8 @@ def _qkv_core(qkv, bias_ref, mask, o_ref, *, scale, num_heads, n_valid,
             preferred_element_type=jnp.float32,
         ).reshape(hc, t, n, n)
         attn = attn + bias_ref[h0:h0 + hc].astype(jnp.float32)[:, None]
-        attn = attn + colmask
+        if colmask is not None:
+            attn = attn + colmask
         attn = attn - jnp.max(attn, axis=-1, keepdims=True)
         attn = jnp.exp(attn)
         attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
@@ -312,16 +326,17 @@ def _pick_qkv_tile(nw: int, n: int, c: int, num_heads: int,
 
 def _pick_head_chunk(num_heads: int, t: int, n: int, d: int,
                      n_temps_f32: int = 2, n_temps_bf16: int = 6,
+                     itemsize: int = 2,
                      vmem_budget: int = 4 * 1024 * 1024) -> int:
     """Heads batched per chunk in the kernel body. Each (head, window) unit
-    stages ~``n_temps_bf16`` lane-padded (n_sub, 128) bf16 tiles (q/k/v
-    stacks, probs, out) and ~``n_temps_f32`` (n_sub, n_lane) f32 logit
-    tiles; chunk heads so those temporaries stay within the scoped-VMEM
-    slack left by the streams."""
+    stages ~``n_temps_bf16`` lane-padded (n_sub, 128) compute-dtype tiles
+    (q/k/v stacks, probs, out; ``itemsize`` bytes each) and ~``n_temps_f32``
+    (n_sub, n_lane) f32 logit tiles; chunk heads so those temporaries stay
+    within the scoped-VMEM slack left by the streams."""
     n_sub = _round_up(n, 8)
     n_lane = _round_up(n, 128)
     d_lane = _round_up(d, 128)
-    unit = (n_temps_bf16 * n_sub * d_lane * 2
+    unit = (n_temps_bf16 * n_sub * d_lane * itemsize
             + n_temps_f32 * n_sub * n_lane * 4)
     hc = max(1, min(num_heads, vmem_budget // max(1, unit * t)))
     return hc
@@ -343,9 +358,11 @@ def window_attention_qkv_pallas(
 
     b, nw, n, c3 = qkv.shape
     c = c3 // 3
+    isz = qkv.dtype.itemsize  # f32 configs double the VMEM footprint (ADVICE)
     if win_tile is None:
-        win_tile = _pick_qkv_tile(nw, n, c, num_heads)
-    head_chunk = _pick_head_chunk(num_heads, win_tile, n, c // num_heads)
+        win_tile = _pick_qkv_tile(nw, n, c, num_heads, itemsize=isz)
+    head_chunk = _pick_head_chunk(num_heads, win_tile, n, c // num_heads,
+                                  itemsize=isz)
     nw_pad = _round_up(nw, win_tile)
     if nw_pad != nw:
         qkv = jnp.pad(qkv, ((0, 0), (0, nw_pad - nw), (0, 0), (0, 0)))
@@ -400,10 +417,15 @@ def _qkv_bwd_core(qkv, bias_ref, mask, do, dqkv_ref, db_ref, *, scale,
     c = c3 // 3
     d = c // num_heads
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, t, n, n), dimension=3)
-    colmask = jnp.where(col < n_valid, 0.0, -1e30).astype(jnp.float32)
-    if mask is not None:
-        colmask = colmask + mask.astype(jnp.float32)[None]
+    if n_valid < n:
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, t, n, n), dimension=3)
+        colmask = jnp.where(col < n_valid, 0.0, -1e30).astype(jnp.float32)
+        if mask is not None:
+            colmask = colmask + mask.astype(jnp.float32)[None]
+    elif mask is not None:
+        colmask = mask.astype(jnp.float32)[None]
+    else:
+        colmask = None
 
     if first_block is not None:
         @pl.when(first_block)
@@ -429,7 +451,8 @@ def _qkv_bwd_core(qkv, bias_ref, mask, do, dqkv_ref, db_ref, *, scale,
             preferred_element_type=jnp.float32,
         ).reshape(hc, t, n, n)
         attn = attn + bias_ref[h0:h0 + hc].astype(jnp.float32)[:, None]
-        attn = attn + colmask
+        if colmask is not None:
+            attn = attn + colmask
         attn = attn - jnp.max(attn, axis=-1, keepdims=True)
         attn = jnp.exp(attn)
         p = attn / jnp.sum(attn, axis=-1, keepdims=True)  # (hc,T,Nq,Nk) f32
@@ -531,10 +554,12 @@ def window_attention_qkv_bwd_pallas(
 
     b, nw, n, c3 = qkv.shape
     c = c3 // 3
+    isz = qkv.dtype.itemsize  # f32 configs double the VMEM footprint (ADVICE)
     if win_tile is None:
-        win_tile = _pick_qkv_bwd_tile(nw, n, c, num_heads)
+        win_tile = _pick_qkv_bwd_tile(nw, n, c, num_heads, itemsize=isz)
     head_chunk = _pick_head_chunk(num_heads, win_tile, n, c // num_heads,
-                                  n_temps_f32=4, n_temps_bf16=10)
+                                  n_temps_f32=4, n_temps_bf16=10,
+                                  itemsize=isz)
     nw_pad = _round_up(nw, win_tile)
     if nw_pad != nw:
         pads = ((0, 0), (0, nw_pad - nw), (0, 0), (0, 0))
@@ -589,7 +614,11 @@ def window_attention_qkv_train(qkv, bias, mask, scale, num_heads,
     """Differentiable v3 kernel: fwd is window_attention_qkv_pallas, bwd is
     the hand-written flash-style kernel above (residual = just qkv — the
     (..., N, N) probabilities are recomputed in VMEM, never stored). mask is
-    a trace-time constant in SwinBlock, so its cotangent is zeros."""
+    a trace-time constant in SwinBlock, so its cotangent is zeros.
+
+    A pinned ``win_tile`` applies to BOTH directions (ADVICE r4); note the
+    backward streams ~7C/token (qkv + dout + dqkv) vs the forward's 4C, so
+    a tile pinned at the forward's VMEM edge may need halving."""
     return window_attention_qkv_pallas(qkv, bias, mask, scale, num_heads,
                                        win_tile, interpret)
 
@@ -603,7 +632,7 @@ def _qkv_train_fwd(qkv, bias, mask, scale, num_heads, win_tile, interpret):
 def _qkv_train_bwd(scale, num_heads, win_tile, interpret, res, dout):
     qkv, bias, mask = res
     dqkv, dbias = window_attention_qkv_bwd_pallas(
-        qkv, bias, mask, dout, scale, num_heads, win_tile=None,
+        qkv, bias, mask, dout, scale, num_heads, win_tile=win_tile,
         interpret=interpret,
     )
     dmask = None if mask is None else jnp.zeros_like(mask)
@@ -622,9 +651,12 @@ def window_attention(
     scale: float,
     use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Dispatch: Pallas on TPU, jnp elsewhere. Gradients flow through the
-    jnp path (the Pallas kernel is inference-path; training uses the spec -
-    XLA's fusion there is already strong and autodiff stays simple)."""
+    """Legacy v2 dispatch (split q/k/v layout): Pallas on TPU, jnp
+    elsewhere; gradients flow through the jnp path. This entry point is the
+    OPT-IN v2 kernel only — the shipped default is the v3/v4 fused-input
+    path (window_attention_qkv_pallas for eval, window_attention_qkv_train
+    for training, both consuming the qkv Dense output directly), dispatched
+    from WindowMSA (models/backbones/swin.py)."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:

@@ -160,3 +160,70 @@ def test_qkv_train_grads_match_reference(with_mask):
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(gb_ker), np.asarray(gb_ref),
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("train,with_mask", [
+    (False, False), (False, True), (True, False), (True, True),
+])
+def test_windowmsa_fused_gate_dispatch(monkeypatch, train, with_mask):
+    """VERDICT r4 #7: the WindowMSA fused-attention GATE + custom_vjp wiring,
+    exercised on CPU via swin.FORCE_FUSED_INTERPRET. Asserts (a) the fused
+    kernel entry point is actually invoked (a gate regression that silently
+    fell back to the einsum path would fail the call-count check, not just
+    sail through on matching numerics) and (b) outputs/param-grads match the
+    einsum path."""
+    from diffusiondepth_tpu.models.backbones import swin as swin_mod
+    from diffusiondepth_tpu.ops import window_attention as wa
+
+    heads, d, n = 4, 8, 49
+    c = heads * d
+    b, nw = 2, 5
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(b, nw, n, c), jnp.float32)
+    mask = None
+    if with_mask:
+        mask = rng.choice([0.0, -100.0], size=(nw, n, n)).astype(np.float32)
+
+    msa = swin_mod.WindowMSA(embed_dims=c, num_heads=heads,
+                             window_size=(7, 7))
+    params = msa.init(jax.random.PRNGKey(0), x, mask, False)
+
+    calls = {"fused": 0}
+    real_pallas = wa.window_attention_qkv_pallas
+    real_train = wa.window_attention_qkv_train
+
+    def counting_pallas(*a, **kw):
+        calls["fused"] += 1
+        return real_pallas(*a, **kw)
+
+    def counting_train(*a, **kw):
+        calls["fused"] += 1
+        return real_train(*a, **kw)
+
+    monkeypatch.setattr(wa, "window_attention_qkv_pallas", counting_pallas)
+    monkeypatch.setattr(wa, "window_attention_qkv_train", counting_train)
+
+    def loss(params, force):
+        monkeypatch.setattr(swin_mod, "FORCE_FUSED_INTERPRET", force)
+        out = msa.apply(params, x, mask, train)
+        return jnp.sum(out * (1.0 + 0.01 * jnp.arange(c)))
+
+    if train:  # the training twin is the differentiable custom_vjp kernel
+        l_fused, g_fused = jax.value_and_grad(loss)(params, True)
+    else:  # the eval kernel is forward-only by design
+        l_fused, g_fused = loss(params, True), None
+    assert calls["fused"] >= 1, "gate did not dispatch to the fused kernel"
+    n_calls = calls["fused"]
+    if train:
+        l_ref, g_ref = jax.value_and_grad(loss)(params, False)
+    else:
+        l_ref, g_ref = loss(params, False), None
+    assert calls["fused"] == n_calls, "einsum control run hit the kernel"
+
+    np.testing.assert_allclose(float(l_fused), float(l_ref), rtol=1e-4)
+    if train:
+        flat_f = jax.tree_util.tree_leaves(g_fused)
+        flat_r = jax.tree_util.tree_leaves(g_ref)
+        for a, b_ in zip(flat_f, flat_r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-3, atol=2e-3)
