@@ -164,14 +164,25 @@ class ScheduledCNNRefine(nn.Module):
                 noisy_latent, cond_latent, te_b,
             )
 
-        if scalar_t and self.fused_active(noisy_latent.shape[1]):
+        if self.fused_active(noisy_latent.shape[1]):
             from ...ops.fused_denoiser import fused_denoiser
 
             # cond and te stay separate through the custom_vjp so the
             # sampling scan's saved residuals are (hoisted cond, vector te),
-            # not a stacked per-step sum (see fused_denoiser docstring)
-            te_b = jnp.broadcast_to(
-                te[None, :], (noisy_latent.shape[0], te.shape[-1])
+            # not a stacked per-step sum (see fused_denoiser docstring).
+            # Per-sample timesteps (the training ddim_loss call,
+            # ddim_head._ddim_loss) take this path too: the link kernels
+            # index te per batch row (fused_denoiser._fused_link te spec) and
+            # the backward returns a per-sample (B, C) dte, so the
+            # per-sample-t case is the general one — scalar t is just its
+            # broadcast. Routing the loss call here replaced an XLA
+            # fwd+autodiff-bwd of the whole chain per train step (r5).
+            te_b = (
+                jnp.broadcast_to(
+                    te[None, :], (noisy_latent.shape[0], te.shape[-1])
+                )
+                if scalar_t
+                else te
             )
             return fused_denoiser(
                 self.variables["params"], noisy_latent, cond_latent, te_b
