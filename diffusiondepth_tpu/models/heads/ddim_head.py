@@ -187,7 +187,12 @@ class DDIMDepthEstimateHead(nn.Module):
             return x_prev
 
         if fused:
-            from ...ops.fused_denoiser import pad_w, padded_width, u4_stack_fits
+            from ...ops.fused_denoiser import (
+                pad_w,
+                padded_width,
+                u4_stack_fits,
+                u5_pad_stack_fits,
+            )
 
             wp = padded_width(w)
             cond_p = pad_w(cond_latent.astype(jnp.bfloat16), wp)
@@ -196,6 +201,9 @@ class DDIMDepthEstimateHead(nn.Module):
             # steps x (B,H,Wp,256) bf16 — 3.12 GB at the flagship KITTI
             # train scan, which OOMs the accum-2 step (see fused_denoiser)
             save_u4 = u4_stack_fits(len(tables.timesteps), b, h, w)
+            # u5 residual layout gate (padded = layout-natural dus, 2x HBM;
+            # flat fallback above the budget) — see u5_pad_stack_fits
+            save_u5p = u5_pad_stack_fits(len(tables.timesteps), b, h, w)
 
             # whole-step fusion (denoiser chain + DDIM update as ONE
             # custom_vjp, ops/fused_denoiser.py fused_sampler_step) is exact
@@ -260,7 +268,8 @@ class DDIMDepthEstimateHead(nn.Module):
                     t, sched = xs
                     xf, xb = carry
                     xf, xb = mdl.model.sampler_step(
-                        xf, xb, t, cond_p, w, sched, save_u4=save_u4
+                        xf, xb, t, cond_p, w, sched, save_u4=save_u4,
+                        save_u5p=save_u5p,
                     )
                     return (xf, xb), (xf[:, :, 1 : w + 1, :] if vis else None)
 
@@ -284,7 +293,8 @@ class DDIMDepthEstimateHead(nn.Module):
             def step_fn(mdl, x_p, cond_p, xs):
                 t, a_t, a_prev = xs
                 eps = mdl.model(
-                    x_p, t, cond_p, padded_w=w, save_u4=save_u4
+                    x_p, t, cond_p, padded_w=w, save_u4=save_u4,
+                    save_u5p=save_u5p,
                 ).astype(jnp.float32)
                 x_prev = sched_ckpt(eps, x_p, a_t, a_prev)
                 return x_prev, (x_prev[:, :, 1 : w + 1, :] if vis else None)

@@ -56,9 +56,10 @@ class ScheduledCNNRefine(nn.Module):
     num_timestep_embeds: int = 1280
     # Fused Pallas conv chain (ops/fused_denoiser.py): 2.0x the XLA lowering
     # on v5e at the flagship latent shape. Activates only when every guard
-    # holds (bf16 policy, 'upsample_add', scalar timestep, H % 8 == 0);
-    # everything else takes the jnp path below. Backward = hand-written
-    # Pallas kernel chain, oracle-verified against f32 autodiff.
+    # holds (bf16 policy, 'upsample_add', H % 8 == 0); everything else takes
+    # the jnp path below. Scalar AND per-sample timesteps both qualify (the
+    # kernels index te per batch row). Backward = hand-written Pallas kernel
+    # chain, oracle-verified against f32 autodiff.
     use_fused: bool = True
     dtype: Optional[Any] = None
 
@@ -112,22 +113,22 @@ class ScheduledCNNRefine(nn.Module):
         return cond
 
     def sampler_step(self, x_f32, x_bf16, t, cond_p, padded_w: int, sched,
-                     save_u4: bool = True):
+                     save_u4: bool = True, save_u5p: bool = True):
         """One whole DDIM sampler step (denoiser + scheduler update) through
         the fused Pallas op — padded layout, (f32, bf16) latent pair; see
         ops/fused_denoiser.py fused_sampler_step. Only called by
         ddim_head._sample when fused_active and the scheduler matches the
-        op's shipped configuration. ``save_u4`` is the static residual-HBM
-        gate (ops/fused_denoiser.py u4_stack_fits) the head computes from
-        the scan depth."""
+        op's shipped configuration. ``save_u4``/``save_u5p`` are the static
+        residual-HBM gates (ops/fused_denoiser.py u4_stack_fits /
+        u5_pad_stack_fits) the head computes from the scan depth."""
         from ...ops.fused_denoiser import fused_sampler_step
 
         assert self.fused_active(x_f32.shape[1])
         te = self.time_embedding(jnp.asarray(t))
         te_b = jnp.broadcast_to(te[None, :], (x_f32.shape[0], te.shape[-1]))
         return fused_sampler_step(
-            int(padded_w), bool(save_u4), self.variables["params"], x_f32,
-            x_bf16, cond_p, te_b, sched,
+            int(padded_w), bool(save_u4), bool(save_u5p),
+            self.variables["params"], x_f32, x_bf16, cond_p, te_b, sched,
         )
 
     def __call__(
@@ -137,6 +138,7 @@ class ScheduledCNNRefine(nn.Module):
         cond_latent: jnp.ndarray,
         padded_w: Optional[int] = None,
         save_u4: bool = True,
+        save_u5p: bool = True,
     ) -> jnp.ndarray:
         """Predict noise.
 
@@ -160,8 +162,8 @@ class ScheduledCNNRefine(nn.Module):
                 te[None, :], (noisy_latent.shape[0], te.shape[-1])
             )
             return fused_denoiser_padded(
-                int(padded_w), bool(save_u4), self.variables["params"],
-                noisy_latent, cond_latent, te_b,
+                int(padded_w), bool(save_u4), bool(save_u5p),
+                self.variables["params"], noisy_latent, cond_latent, te_b,
             )
 
         if self.fused_active(noisy_latent.shape[1]):

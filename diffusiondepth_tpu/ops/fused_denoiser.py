@@ -605,8 +605,27 @@ def u4_stack_fits(n_steps, b, h, w):
     return n_steps * b * h * padded_width(w) * 256 * 2 <= U4_STACK_BUDGET_BYTES
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def fused_denoiser_padded(W, save_u4, params, latp, condp, te):
+# Budget for stacking u5 in its NATIVE padded (B, H, Wp, 64) layout instead
+# of the lane-dense (B, H, Wp*64) flat: 64 channels lane-pad 2x in a
+# (8,128)-tiled bf16 array, so the padded stack costs 2x the flat one in
+# HBM (1.67 vs 0.84 GB at the flagship 20-step bs4 train scan) — but the
+# flat save costs a lane-compaction relayout copy EACH WAY per scan step
+# plus an H-minor-strided dynamic-update-slice (measured 13.1 ms per bs4
+# train step total, r5 trace) while the padded save's dus/ds are
+# layout-natural (~4 ms at the same shape). Static per-trace choice like
+# save_u4; when the padded stack exceeds the budget the flat layout is the
+# fallback — same values either way, so grads are bitwise equal.
+U5_PAD_BUDGET_BYTES = int(1.8e9)
+
+
+def u5_pad_stack_fits(n_steps, b, h, w):
+    """True when stacking u5 padded (physical bytes: 64->128 lanes) across
+    an ``n_steps``-deep sampling scan stays inside ``U5_PAD_BUDGET_BYTES``."""
+    return n_steps * b * h * padded_width(w) * 128 * 2 <= U5_PAD_BUDGET_BYTES
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def fused_denoiser_padded(W, save_u4, save_u5p, params, latp, condp, te):
     """Padded-layout fused denoiser for the sampling scan.
 
     ``latp`` (B, H, Wp, 16) and ``condp`` (B, H, Wp, C) arrive in the
@@ -631,7 +650,8 @@ def fused_denoiser_padded(W, save_u4, params, latp, condp, te):
     )
 
 
-def _fused_denoiser_padded_fwd(W, save_u4, params, latp, condp, te):
+def _fused_denoiser_padded_fwd(W, save_u4, save_u5p, params, latp, condp,
+                               te):
     interpret = jax.default_backend() != "tpu"
     out, it = fused_denoiser_apply(
         params, latp, condp, te, W=W, out_padded=True, interpret=interpret,
@@ -647,9 +667,11 @@ def _fused_denoiser_padded_fwd(W, save_u4, params, latp, condp, te):
     #    the primal latent dtype in the bwd.
     #  * u4 (the fb-link output) and u5 (+ its g2 GN stats, stacked
     #    (B, 4, 64)) are saved so the backward recompute skips the fb and
-    #    pr0 links; see fused_denoiser_apply's ``saved``. u5 is saved FLAT
-    #    (B, H, Wp*64) — 64 channels lane-pad 2x otherwise (1.04 GB vs
-    #    520 MB over the 20-step scan). u6 is NOT worth saving: its
+    #    pr0 links; see fused_denoiser_apply's ``saved``. u5 is saved in
+    #    its native PADDED layout when the stack fits u5_pad_stack_fits
+    #    (layout-natural dus/ds; the flat fallback lane-compacts to half
+    #    the HBM but costs a relayout copy each way — 13.1 vs ~4 ms per
+    #    flagship bs4 train step, r5 trace). u6 is NOT worth saving: its
     #    16-channel stack lane-pads 8x (1.66 GB) to skip the cheapest link,
     #    and the sched kernel donates u6's buffer into xpb. The remaining
     #    recompute is ne0/ne1/fa/pr1 (u1..u3 are the 256-ch maps whose
@@ -662,16 +684,19 @@ def _fused_denoiser_padded_fwd(W, save_u4, params, latp, condp, te):
     lat_flat = latp.astype(jnp.bfloat16).reshape(B, H, Wp * c16)
     dtok = jnp.zeros((0,), latp.dtype)
     c64 = it["u5"].shape[-1]
-    u5_flat = it["u5"].reshape(B, H, Wp * c64)
+    # padded (layout-natural dus/ds, 2x HBM) vs flat (lane-dense, but a
+    # relayout copy each way + strided dus) — see u5_pad_stack_fits
+    u5_save = it["u5"] if save_u5p else it["u5"].reshape(B, H, Wp * c64)
     g2s = jnp.stack(it["g2"], axis=1)
     u4 = it["u4"] if save_u4 else None
-    return out, (params, lat_flat, condp, te, u4, u5_flat, g2s, dtok)
+    return out, (params, lat_flat, condp, te, u4, u5_save, g2s, dtok)
 
 
-def _unstack_saved(u4, u5_flat, g2s, Wp):
-    B, H, wc = u5_flat.shape
+def _unstack_saved(u4, u5_save, g2s, Wp):
     saved = {
-        "u5": u5_flat.reshape(B, H, Wp, wc // Wp),
+        "u5": (u5_save if u5_save.ndim == 4
+               else u5_save.reshape(u5_save.shape[0], u5_save.shape[1], Wp,
+                                    u5_save.shape[2] // Wp)),
         "g2": tuple(g2s[:, i] for i in range(4)),
     }
     if u4 is not None:
@@ -679,15 +704,15 @@ def _unstack_saved(u4, u5_flat, g2s, Wp):
     return saved
 
 
-def _fused_denoiser_padded_bwd(W, save_u4, res, ct):
-    params, lat_flat, condp, te, u4, u5_flat, g2s, dtok = res
+def _fused_denoiser_padded_bwd(W, save_u4, save_u5p, res, ct):
+    params, lat_flat, condp, te, u4, u5_save, g2s, dtok = res
     B, H, wpc = lat_flat.shape
     Wp = condp.shape[2]
     latp = lat_flat.reshape(B, H, Wp, wpc // Wp)
     interpret = jax.default_backend() != "tpu"
     dparams, dlat, dfeat = fused_denoiser_bwd_chain(
         params, latp, condp, ct, te=te, W=W, padded_grads=True,
-        interpret=interpret, saved=_unstack_saved(u4, u5_flat, g2s, Wp),
+        interpret=interpret, saved=_unstack_saved(u4, u5_save, g2s, Wp),
     )
     # dte: spatial sum as an MXU ones-dot (see _fused_denoiser_bwd); the
     # padded border columns of dfeat are exactly zero so the sum is exact
@@ -1415,8 +1440,9 @@ def _coefs7(g3, gn3):
     ).astype(jnp.float32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def fused_sampler_step(W, save_u4, params, x_f32, x_bf16, condp, te, sched):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def fused_sampler_step(W, save_u4, save_u5p, params, x_f32, x_bf16, condp, te,
+                       sched):
     """One whole DDIM sampler step (denoiser chain + scheduler update) in the
     padded layout: (x_f32, x_bf16) -> (x'_f32, x'_bf16).
 
@@ -1459,8 +1485,8 @@ def _sampler_step_impl(W, params, x_f32, x_bf16, condp, te, sched, interpret):
     return (xp, xpb), it
 
 
-def _fused_sampler_step_fwd(W, save_u4, params, x_f32, x_bf16, condp, te,
-                            sched):
+def _fused_sampler_step_fwd(W, save_u4, save_u5p, params, x_f32, x_bf16,
+                            condp, te, sched):
     interpret = jax.default_backend() != "tpu"
     (xp, xpb), it = _sampler_step_impl(
         W, params, x_f32, x_bf16, condp, te, sched, interpret
@@ -1468,15 +1494,15 @@ def _fused_sampler_step_fwd(W, save_u4, params, x_f32, x_bf16, condp, te,
     B, H, Wp, c16 = x_bf16.shape
     lat_flat = x_bf16.reshape(B, H, Wp * c16)
     c64 = it["u5"].shape[-1]
-    u5_flat = it["u5"].reshape(B, H, Wp * c64)
+    u5_save = it["u5"] if save_u5p else it["u5"].reshape(B, H, Wp * c64)
     g2s = jnp.stack(it["g2"], axis=1)
     u4 = it["u4"] if save_u4 else None
-    return (xp, xpb), (params, lat_flat, condp, te, u4, u5_flat, g2s,
+    return (xp, xpb), (params, lat_flat, condp, te, u4, u5_save, g2s,
                        sched)
 
 
-def _fused_sampler_step_bwd(W, save_u4, res, cts):
-    params, lat_flat, condp, te, u4, u5_flat, g2s, sched = res
+def _fused_sampler_step_bwd(W, save_u4, save_u5p, res, cts):
+    params, lat_flat, condp, te, u4, u5_save, g2s, sched = res
     dxp, dxpb = cts
     interpret = jax.default_backend() != "tpu"
     B, H, wpc = lat_flat.shape
@@ -1486,7 +1512,7 @@ def _fused_sampler_step_bwd(W, save_u4, res, cts):
 
     _, it = fused_denoiser_apply(
         params, latp, condp, te, W=W, out_padded=True, interpret=interpret,
-        keep_intermediates=True, saved=_unstack_saved(u4, u5_flat, g2s, Wp),
+        keep_intermediates=True, saved=_unstack_saved(u4, u5_save, g2s, Wp),
     )
     gn3 = _chain_params(params)[9]
     dx_f32, t6, ps6 = _sched_bwd(

@@ -292,8 +292,9 @@ def test_module_per_sample_t_takes_fused_path(monkeypatch):
         assert d < (0.25 if a.size > 64 else 0.6), (a.shape, d)
 
 
-@pytest.mark.parametrize("save_u4", [True, False])
-def test_padded_layout_entry_point(save_u4):
+@pytest.mark.parametrize("save_u4,save_u5p",
+                         [(True, True), (False, True), (True, False)])
+def test_padded_layout_entry_point(save_u4, save_u5p):
     """fused_denoiser_padded (the sampling scan's zero-border layout path)
     must equal the unpadded public op in both forward and VJP: eps/grads come
     back in the padded layout with exactly-zero border columns, and slicing
@@ -316,7 +317,8 @@ def test_padded_layout_entry_point(save_u4):
     lat_p = pad_w(lat.astype(jnp.float32), Wp)  # f32 like the scan carry
     cond_p = pad_w(cond, Wp)
 
-    out_p = fused_denoiser_padded(W, save_u4, params, lat_p, cond_p, te_b)
+    out_p = fused_denoiser_padded(W, save_u4, save_u5p, params, lat_p,
+                                  cond_p, te_b)
     out = fused_denoiser(params, lat, cond, te_b)
     assert out_p.shape == (B, H, Wp, 16)
     np.testing.assert_array_equal(
@@ -335,7 +337,8 @@ def test_padded_layout_entry_point(save_u4):
     )
     ct_p = pad_w(ct, Wp)
     _, vjp_p = jax.vjp(
-        lambda p, l, c, t: fused_denoiser_padded(W, save_u4, p, l, c, t),
+        lambda p, l, c, t: fused_denoiser_padded(W, save_u4, save_u5p,
+                                                 p, l, c, t),
         params, lat_p, cond_p, te_b,
     )
     _, vjp_u = jax.vjp(fused_denoiser, params, lat, cond, te_b)
@@ -370,8 +373,9 @@ def test_padded_layout_entry_point(save_u4):
                                       np.asarray(vb, np.float32))
 
 
-@pytest.mark.parametrize("save_u4", [True, False])
-def test_fused_sampler_step_matches_composite(save_u4):
+@pytest.mark.parametrize("save_u4,save_u5p",
+                         [(True, True), (False, True), (True, False)])
+def test_fused_sampler_step_matches_composite(save_u4, save_u5p):
     """fused_sampler_step (whole DDIM step: chain + scheduler in Pallas) must
     match the composite fused_denoiser_padded -> step_from_alphas path: the
     forward within f32 rounding of the identical formula, and the VJP within
@@ -401,15 +405,16 @@ def test_fused_sampler_step_matches_composite(save_u4):
     schedule = DDIMSchedule(clip_sample=False)
 
     def composite(params, x_f32, x_b, cond_p, te_b, sched):
-        eps = fused_denoiser_padded(W, True, params, x_b, cond_p, te_b)
+        eps = fused_denoiser_padded(W, True, True, params, x_b, cond_p,
+                                    te_b)
         xp, _ = schedule.step_from_alphas(
             eps.astype(jnp.float32), x_f32, a_t, a_prev,
             eta=0.0, use_clipped_model_output=True,
         )
         return xp
 
-    xp_f, xpb_f = fused_sampler_step(W, save_u4, params, x_f32, x_b, cond_p,
-                                     te_b, sched)
+    xp_f, xpb_f = fused_sampler_step(W, save_u4, save_u5p, params, x_f32,
+                                     x_b, cond_p, te_b, sched)
     xp_c = composite(params, x_f32, x_b, cond_p, te_b, sched)
     np.testing.assert_allclose(np.asarray(xp_f, np.float32),
                                np.asarray(xp_c, np.float32),
@@ -426,7 +431,7 @@ def test_fused_sampler_step_matches_composite(save_u4):
 
     _, vjp_f = jax.vjp(
         lambda p, xf, xb, c, t: fused_sampler_step(
-            W, save_u4, p, xf, xb, c, t, sched),
+            W, save_u4, save_u5p, p, xf, xb, c, t, sched),
         params, x_f32, x_b, cond_p, te_b)
     fP, fXf, fXb, fC, fT = vjp_f((ct, jnp.zeros_like(ct, jnp.bfloat16)))
     # composite only consumes x_b through the chain; route x_f32 through the
@@ -567,12 +572,15 @@ def test_sched_kernels_wide_shape_th4():
 
 
 @pytest.mark.slow
-def test_head_scan_u4_gate_grads_bitwise_equal(monkeypatch):
+@pytest.mark.parametrize("budget_attr", ["U4_STACK_BUDGET_BYTES",
+                                         "U5_PAD_BUDGET_BYTES"])
+def test_head_scan_u4_gate_grads_bitwise_equal(monkeypatch, budget_attr):
     """The head-level fused sampling scan (ddim_head._sample whole-step
-    path) with the u4 residual budget forced to 0 — the flagship train
-    shape's configuration, where the backward recomputes the fb link —
-    must produce BITWISE-identical parameter grads to the saving path:
-    the saved u4 is the same kernel's output on the same inputs. Drives
+    path) with a residual budget forced to 0 — u4 off means the backward
+    recomputes the fb link (the flagship train shape's configuration); the
+    u5 pad budget off means the flat lane-compacted residual layout — must
+    produce BITWISE-identical parameter grads to the default path: either
+    way the same kernels see the same inputs. Drives
     the real nn.scan + custom_vjp wiring (interpret mode on CPU; the
     real-chip twin is tools/tpu_padded_check.py)."""
     from diffusiondepth_tpu.models.heads.ddim_head import DDIMDepthEstimateHead
@@ -608,7 +616,7 @@ def test_head_scan_u4_gate_grads_bitwise_equal(monkeypatch):
         return jnp.mean(jnp.square(out["pred"].astype(jnp.float32)))
 
     g_on = jax.grad(loss)(vs["params"])
-    monkeypatch.setattr(fused_denoiser, "U4_STACK_BUDGET_BYTES", 0)
+    monkeypatch.setattr(fused_denoiser, budget_attr, 0)
     g_off = jax.grad(loss)(vs["params"])
     for (k, va), (_, vb) in zip(
         jax.tree_util.tree_flatten_with_path(g_off)[0],

@@ -143,4 +143,21 @@ for (k, va), (_, vb) in zip(
         err_msg=jax.tree_util.keystr(k))
 print("save_u4 on/off grads bitwise equal", flush=True)
 
+# u5 residual layout gate (padded vs flat save): same values either way,
+# so grads must be BITWISE equal too (r5, u5_pad_stack_fits)
+budget5 = fused_denoiser.U5_PAD_BUDGET_BYTES
+try:
+    fused_denoiser.U5_PAD_BUDGET_BYTES = 0
+    gf5 = jax.jit(jax.grad(loss_of(head_f, train=True)))(vs["params"])
+finally:
+    fused_denoiser.U5_PAD_BUDGET_BYTES = budget5
+for (k, va), (_, vb) in zip(
+    jax.tree_util.tree_flatten_with_path(gf5)[0],
+    jax.tree_util.tree_flatten_with_path(gf)[0],
+):
+    np.testing.assert_array_equal(
+        np.asarray(va, np.float32), np.asarray(vb, np.float32),
+        err_msg=jax.tree_util.keystr(k))
+print("u5 padded/flat residual grads bitwise equal", flush=True)
+
 print("PADDED_SCAN_PARITY_OK", flush=True)
