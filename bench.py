@@ -63,7 +63,14 @@ RESULT = {
     "value": 0.0,
     "unit": "frames/sec/chip",
     "vs_baseline": 0.0,
+    # wall seconds per completed stage — calibrates the _EST gates and
+    # tells a reader where a timed-out run spent its budget
+    "stage_secs": {},
 }
+
+
+def _mark_stage(name: str, t0: float) -> None:
+    RESULT["stage_secs"][name] = round(time.perf_counter() - t0, 1)
 
 
 def _remaining() -> float:
@@ -202,6 +209,7 @@ def main():
     except Exception as e:
         RESULT["mfu_error"] = f"{type(e).__name__}: {e}"
 
+    _mark_stage("flagship_eval", _T0)
     emit()  # the flagship number is on the record from this point on
 
     # free the eval model/batch before the training bench (the training state
@@ -210,10 +218,12 @@ def main():
 
     # ---- stage 2: training bench -----------------------------------------
     if _remaining() > _EST_TRAIN_SEC:
+        t_tr = time.perf_counter()
         try:
             RESULT.update(bench_training(jax, cfg))
         except Exception as e:  # best-effort extra signal
             RESULT["train_error"] = f"{type(e).__name__}: {e}"
+        _mark_stage("train", t_tr)
     else:
         RESULT["train_skipped"] = (
             f"budget: {_remaining():.0f}s left < {_EST_TRAIN_SEC:.0f}s estimate"
@@ -229,10 +239,12 @@ def main():
                 "skipped": f"budget: {_remaining():.0f}s left < {est:.0f}s"
             }
             continue
+        t_row = time.perf_counter()
         try:
             RESULT["secondary"][name] = bench_secondary_row(jax, name)
         except Exception as e:
             RESULT["secondary"][name] = {"error": f"{type(e).__name__}: {e}"}
+        _mark_stage(name, t_row)
         emit()
     RESULT["bench_wall_sec"] = round(time.perf_counter() - _T0, 1)
     emit()

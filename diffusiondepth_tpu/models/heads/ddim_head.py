@@ -339,7 +339,22 @@ class DDIMDepthEstimateHead(nn.Module):
         noise = jax.random.normal(rng_noise, refined_latent.shape, refined_latent.dtype)
         timesteps = jax.random.randint(rng_t, (b,), 0, self.num_train_timesteps)
         noisy = self.schedule.add_noise(refined_latent, noise, timesteps)
-        noise_pred = self.model(noisy, timesteps, cond_latent)
+        if self.model.fused_active(noisy.shape[1]):
+            # padded-entry call: the padded bf16 condition here is the SAME
+            # expression the fused sampling scan hoists (pad_w of the bf16
+            # cond), so XLA CSEs it — the unpadded entry would instead pad
+            # cond inside both its forward and its backward recompute
+            from ...ops.fused_denoiser import pad_w, padded_width
+
+            w = noisy.shape[2]
+            wp = padded_width(w)
+            cond_p = pad_w(cond_latent.astype(jnp.bfloat16), wp)
+            noisy_p = pad_w(noisy.astype(jnp.bfloat16), wp)
+            noise_pred = self.model(
+                noisy_p, timesteps, cond_p, padded_w=w
+            )[:, :, 1 : w + 1, :]
+        else:
+            noise_pred = self.model(noisy, timesteps, cond_latent)
         return jnp.mean(jnp.square(noise_pred.astype(jnp.float32) - noise.astype(jnp.float32)))
 
     # ------------------------------------------------------------------ #

@@ -157,9 +157,13 @@ class ScheduledCNNRefine(nn.Module):
         if padded_w is not None:
             from ...ops.fused_denoiser import fused_denoiser_padded
 
-            assert scalar_t and self.fused_active(noisy_latent.shape[1])
-            te_b = jnp.broadcast_to(
-                te[None, :], (noisy_latent.shape[0], te.shape[-1])
+            assert self.fused_active(noisy_latent.shape[1])
+            te_b = (
+                jnp.broadcast_to(
+                    te[None, :], (noisy_latent.shape[0], te.shape[-1])
+                )
+                if scalar_t
+                else te  # per-sample t (training ddim_loss padded call)
             )
             return fused_denoiser_padded(
                 int(padded_w), bool(save_u4), bool(save_u5p),

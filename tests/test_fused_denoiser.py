@@ -608,12 +608,15 @@ def test_head_scan_u4_gate_grads_bitwise_equal(monkeypatch, budget_attr):
 
     def loss(params):
         # train=True: the whole-step pair path (the u4 gate's home) — eval
-        # (train=False) takes the grouped-flat carry path instead
+        # (train=False) takes the grouped-flat carry path instead. The
+        # ddim_loss term drives the padded per-sample-timestep denoiser
+        # call (r5) through the same interpret-mode wiring.
         out, _ = head.apply({**vs, "params": params}, fp, gt_depth_map=gt,
                             init_latent=init_lat, train=True,
                             rngs={"diffusion": jax.random.PRNGKey(1)},
                             mutable=["batch_stats"])
-        return jnp.mean(jnp.square(out["pred"].astype(jnp.float32)))
+        return (jnp.mean(jnp.square(out["pred"].astype(jnp.float32)))
+                + out["ddim_loss"].astype(jnp.float32))
 
     g_on = jax.grad(loss)(vs["params"])
     monkeypatch.setattr(fused_denoiser, budget_attr, 0)
