@@ -51,12 +51,15 @@ STEPS = 20
 _T0 = time.perf_counter()
 _BUDGET = float(os.environ.get("BENCH_BUDGET_SEC", "1500"))
 
-# Warm-cache wall-clock estimates per stage (measured in-session; a cold
-# compile through the axon tunnel is ~10 min per program and blows any
-# budget — the persistent .jax_cache is pre-warmed by the builder).
+# Warm-cache wall-clock estimates per stage (measured stage_secs, r5:
+# flagship 621, train ~400 warm / 640 with one recompile, leaderboard 227,
+# res50 94, mpvit 527 — host-side init/tracing on the 1-core box dominates
+# the warm cost). A cold compile through the axon tunnel is ~10 min per
+# program and blows any budget — the persistent .jax_cache is pre-warmed
+# by the builder.
 _EST_TRAIN_SEC = 420.0
-_EST_SECONDARY_SEC = {"leaderboard_protocol": 260.0, "res50": 150.0,
-                      "mpvit_small": 150.0}
+_EST_SECONDARY_SEC = {"leaderboard_protocol": 230.0, "res50": 110.0,
+                      "mpvit_small": 500.0}
 
 RESULT = {
     "metric": f"KITTI {H}x{W} inference, {STEPS} DDIM steps (INCOMPLETE)",
