@@ -152,16 +152,22 @@ class Config:
     # flagship stage shapes on v5e (tools/bench_window_attention.py table in
     # README); kept for shapes/hardware where VMEM-residency wins.
     use_pallas: bool = False
-    # v3 fused-input window-attention kernel at inference (default ON):
-    # consumes the qkv Dense output directly, measured 1.37-1.66x XLA at
-    # every flagship stage shape (tools/bench_window_attention_v3.py)
+    # v3/v4 fused-input window-attention kernel at BOTH inference and
+    # training (default ON; training runs the custom_vjp twin with the
+    # flash-style backward kernel): consumes the qkv Dense output directly,
+    # measured 1.11-1.70x XLA at every flagship stage shape
+    # (tools/bench_window_attention_v3.py). NOTE: attn_drop_rate > 0
+    # disables the fused TRAINING path (no in-VMEM dropout; a one-time
+    # warning is emitted) — the shipped configs all use attn_drop_rate 0.
     fused_window_attention: bool = True
     # Rematerialise Swin blocks in the training backward (memory for compute;
     # turn off when the micro-batch leaves HBM headroom)
     remat_backbone: bool = True
     # Fused Pallas denoiser conv chain (ops/fused_denoiser.py): 2.0x the XLA
-    # lowering of the sampler body on v5e. Per-call guards (bf16, scalar t,
-    # H%8==0, 'upsample_add') fall back to the jnp path when not applicable.
+    # lowering of the sampler body on v5e. Per-call guards (bf16, H%8==0,
+    # 'upsample_add') fall back to the jnp path when not applicable; both
+    # scalar and per-sample timesteps qualify (the kernels index the
+    # timestep embedding per batch row).
     fused_denoiser: bool = True
     # Override the head's pyramid channel spec (comma-separated ints), so a
     # registered head can ride a different-width backbone of the same family
